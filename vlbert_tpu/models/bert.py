@@ -1,0 +1,278 @@
+"""BERT encoder core in Flax, numerically matching the reference's vendored
+post-LN BERT (ref: external/pytorch_pretrained_bert/modeling.py:114-500).
+
+TPU-first choices:
+  * compute dtype is configurable (bf16 by default at the framework level);
+    LayerNorm statistics and softmax always accumulate in fp32,
+  * attention is a single fused einsum path XLA maps onto the MXU; a Pallas
+    flash-attention kernel can be swapped in via ``ops.attention``,
+  * optional ``jax.checkpoint`` rematerialization per layer,
+  * static shapes only: padding is handled by the additive -10000 mask
+    (ref: common/visual_linguistic_bert.py:119-127), identical math to the
+    reference so masked positions contribute ~0 attention weight.
+
+Parameter tree mirrors the torch module names (``attention.self.query`` ...)
+so checkpoint conversion (training/convert.py) is a mechanical rename.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ACT2FN = {
+    # exact erf gelu (ref: modeling.py:114-120), NOT the tanh approximation
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "relu": jax.nn.relu,
+    "swish": jax.nn.swish,
+}
+
+
+def bert_dense(features, initializer_range, dtype, name=None):
+    """nn.Linear equivalent with BERT's truncated-normal-ish init.
+
+    The reference uses normal(std=initializer_range) (ref:
+    common/visual_linguistic_bert.py:14-25); we match that.
+    """
+    return nn.Dense(
+        features=features,
+        kernel_init=nn.initializers.normal(stddev=initializer_range),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class BertLayerNorm(nn.Module):
+    """TF-style LayerNorm, eps inside sqrt (ref: modeling.py:222-235).
+
+    Always computed in fp32 regardless of the surrounding compute dtype.
+    """
+
+    epsilon: float = 1e-12
+    out_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_dtype = self.out_dtype or x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(out_dtype)
+
+
+class BertSelfAttention(nn.Module):
+    """Multi-head self-attention (ref: modeling.py:268-319)."""
+
+    num_heads: int
+    hidden_size: int
+    dropout_rate: float
+    initializer_range: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, deterministic=True,
+                 output_attention_probs=False):
+        head_dim = self.hidden_size // self.num_heads
+        q = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "query")(hidden)
+        k = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "key")(hidden)
+        v = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "value")(hidden)
+
+        B, L, _ = hidden.shape
+        q = q.reshape(B, L, self.num_heads, head_dim)
+        k = k.reshape(B, L, self.num_heads, head_dim)
+        v = v.reshape(B, L, self.num_heads, head_dim)
+
+        # scores in fp32 for a numerically stable softmax
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(head_dim)
+        scores = scores + attention_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs_out = probs
+        probs = nn.Dropout(rate=self.dropout_rate)(probs, deterministic=deterministic)
+        probs = probs.astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(B, L, self.hidden_size).astype(self.dtype)
+        if output_attention_probs:
+            return ctx, probs_out
+        return ctx
+
+
+class BertAttention(nn.Module):
+    """Self-attention + residual projection block (ref: modeling.py:322-349)."""
+
+    num_heads: int
+    hidden_size: int
+    attention_dropout: float
+    hidden_dropout: float
+    initializer_range: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_bias, deterministic=True,
+                 output_attention_probs=False):
+        attn = BertSelfAttention(
+            self.num_heads, self.hidden_size, self.attention_dropout,
+            self.initializer_range, self.dtype, name="self")(
+                x, attention_bias, deterministic, output_attention_probs)
+        probs = None
+        if output_attention_probs:
+            attn, probs = attn
+        h = bert_dense(self.hidden_size, self.initializer_range, self.dtype,
+                       "output_dense")(attn)
+        h = nn.Dropout(rate=self.hidden_dropout)(h, deterministic=deterministic)
+        h = BertLayerNorm(name="output_LayerNorm")(h + x)
+        if output_attention_probs:
+            return h, probs
+        return h
+
+
+class BertLayer(nn.Module):
+    """One transformer block: attention -> FFN, both post-LN
+    (ref: modeling.py:352-397)."""
+
+    num_heads: int
+    hidden_size: int
+    intermediate_size: int
+    hidden_act: str
+    attention_dropout: float
+    hidden_dropout: float
+    initializer_range: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_bias, deterministic=True,
+                 output_attention_probs=False):
+        attn_out = BertAttention(
+            self.num_heads, self.hidden_size, self.attention_dropout,
+            self.hidden_dropout, self.initializer_range, self.dtype,
+            name="attention")(x, attention_bias, deterministic,
+                              output_attention_probs)
+        probs = None
+        if output_attention_probs:
+            attn_out, probs = attn_out
+        inter = bert_dense(self.intermediate_size, self.initializer_range,
+                           self.dtype, "intermediate_dense")(attn_out)
+        inter = ACT2FN[self.hidden_act](inter)
+        out = bert_dense(self.hidden_size, self.initializer_range, self.dtype,
+                         "output_dense")(inter)
+        out = nn.Dropout(rate=self.hidden_dropout)(out, deterministic=deterministic)
+        out = BertLayerNorm(name="output_LayerNorm")(out + attn_out)
+        if output_attention_probs:
+            return out, probs
+        return out
+
+
+class BertEncoder(nn.Module):
+    """Stack of BertLayers (ref: modeling.py:400-421).
+
+    Returns the final hidden states; per-layer outputs / attention probs are
+    returned only when requested (attention-vis path,
+    ref: pretrain/modules/resnet_vlbert_for_attention_vis.py).
+    """
+
+    num_layers: int
+    num_heads: int
+    hidden_size: int
+    intermediate_size: int
+    hidden_act: str
+    attention_dropout: float
+    hidden_dropout: float
+    initializer_range: float
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, attention_bias, deterministic=True,
+                 output_all_encoded_layers=False,
+                 output_attention_probs=False):
+        layer_cls = BertLayer
+        if self.remat and not output_attention_probs:
+            layer_cls = nn.remat(BertLayer, static_argnums=(3, 4))
+        all_layers = []
+        all_probs = []
+        for i in range(self.num_layers):
+            layer = layer_cls(
+                self.num_heads, self.hidden_size, self.intermediate_size,
+                self.hidden_act, self.attention_dropout, self.hidden_dropout,
+                self.initializer_range, self.dtype, name=f"layer_{i}")
+            x = layer(x, attention_bias, deterministic, output_attention_probs)
+            if output_attention_probs:
+                x, probs = x
+                all_probs.append(probs)
+            if output_all_encoded_layers:
+                all_layers.append(x)
+        if output_all_encoded_layers:
+            out = all_layers
+        else:
+            out = x
+        if output_attention_probs:
+            return out, all_probs
+        return out
+
+
+class BertPooler(nn.Module):
+    """Tanh projection of the [CLS] position (ref: modeling.py:424-436)."""
+
+    hidden_size: int
+    initializer_range: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        first = hidden[:, 0]
+        pooled = bert_dense(self.hidden_size, self.initializer_range,
+                            self.dtype, "dense")(first)
+        return jnp.tanh(pooled)
+
+
+class BertPredictionHeadTransform(nn.Module):
+    """dense + act + LN transform before the MLM decoder
+    (ref: modeling.py:439-453)."""
+
+    hidden_size: int
+    hidden_act: str
+    initializer_range: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        h = bert_dense(self.hidden_size, self.initializer_range, self.dtype,
+                       "dense")(hidden)
+        h = ACT2FN[self.hidden_act](h)
+        return BertLayerNorm(name="LayerNorm")(h)
+
+
+class BertLMPredictionHead(nn.Module):
+    """MLM head with the decoder tied to the word-embedding matrix
+    (ref: modeling.py:456-472). The embedding matrix is passed at call time.
+    """
+
+    hidden_size: int
+    vocab_size: int
+    hidden_act: str
+    initializer_range: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, word_embedding_matrix):
+        h = BertPredictionHeadTransform(
+            self.hidden_size, self.hidden_act, self.initializer_range,
+            self.dtype, name="transform")(hidden)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.vocab_size,), jnp.float32)
+        logits = jnp.einsum("...d,vd->...v", h,
+                            word_embedding_matrix.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+        return logits + bias

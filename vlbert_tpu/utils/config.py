@@ -1,0 +1,377 @@
+"""Config system: attribute-dict default trees + strict-keyed YAML overlay.
+
+Single implementation parameterized by task, replacing the reference's four
+near-identical copies (ref: vcr/function/config.py:174-202,
+pretrain/function/config.py:182-216 for the list-DATASET variant). Semantics
+preserved:
+
+* every YAML key must already exist in the default tree (strict check),
+* ``TRAIN.LR_STEP`` is parsed from a csv string to a tuple of floats,
+* ``TRAIN.LOSS_LOGGERS`` is parsed from a list of csv strings to tuples,
+* top-level ``SCALES`` becomes a tuple,
+* ``NETWORK.VLBERT`` is merged key-by-key with strict check,
+* pretrain-style ``DATASET`` may be a *list* of dataset dicts, each filled
+  from the DATASET default template.
+
+On top of the reference surface we add a ``TPU`` section (mesh axes, dtype
+policy, static-shape bucket sizes) with defaults that reproduce reference
+behavior when untouched.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import yaml
+
+
+class AttrDict(dict):
+    """dict with attribute access, recursively wrapping nested dicts."""
+
+    def __init__(self, d=None, **kwargs):
+        super().__init__()
+        if d is None:
+            d = {}
+        d = dict(d, **kwargs)
+        for k, v in d.items():
+            self[k] = v
+
+    def __setitem__(self, key, value):
+        if isinstance(value, dict) and not isinstance(value, AttrDict):
+            value = AttrDict(value)
+        elif isinstance(value, (list, tuple)):
+            value = type(value)(
+                AttrDict(v) if isinstance(v, dict) and not isinstance(v, AttrDict) else v
+                for v in value
+            )
+        super().__setitem__(key, value)
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+
+    def __delattr__(self, key):
+        try:
+            del self[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+
+    def clone(self):
+        return copy.deepcopy(self)
+
+
+def _common_config():
+    """Options shared by all four tasks (ref: vcr/function/config.py:10-19)."""
+    c = AttrDict()
+    c.RNG_SEED = -1
+    c.OUTPUT_PATH = ""
+    c.MODULE = ""
+    c.GPUS = ""
+    c.LOG_FREQUENT = 50
+    c.VAL_FREQUENT = 1
+    c.CHECKPOINT_FREQUENT = 1
+    c.MODEL_PREFIX = ""
+    c.NUM_WORKERS_PER_GPU = 4
+    c.SCALES = ()
+
+    d = c.DATASET = AttrDict()
+    d.DATASET = ""
+    d.LABEL_INDEX_IN_BATCH = -1
+    d.APPEND_INDEX = False
+    d.TASK = "Q2AR"
+    d.BASIC_ALIGN = False
+    d.DATASET_PATH = ""
+    d.ROOT_PATH = ""
+    d.TRAIN_IMAGE_SET = ""
+    d.VAL_IMAGE_SET = ""
+    d.TEST_IMAGE_SET = ""
+    d.TRAIN_ANNOTATION_FILE = ""
+    d.VAL_ANNOTATION_FILE = ""
+    d.TEST_ANNOTATION_FILE = ""
+    d.ONLY_USE_RELEVANT_DETS = True
+    d.ADD_IMAGE_AS_A_BOX = True
+    d.ZIP_MODE = False
+    d.CACHE_MODE = False
+    d.IGNORE_DB_CACHE = True
+    d.MASK_SIZE = 14
+    d.QA2R_NOQ = False
+    d.QA2R_AUG = False
+
+    n = c.NETWORK = AttrDict()
+    n.BLIND = False
+    n.NO_GROUNDING = False
+    n.PARTIAL_PRETRAIN = ""
+    n.PARTIAL_PRETRAIN_PREFIX_CHANGES = []
+    n.FOR_MASK_VL_MODELING_PRETRAIN = False
+    n.NO_OBJ_ATTENTION = False
+    n.IMAGE_NUM_LAYERS = 50
+    n.IMAGE_C5_DILATED = False
+    n.IMAGE_STRIDE_IN_1x1 = False
+    n.PIXEL_MEANS = ()
+    n.PIXEL_STDS = ()
+    n.IMAGE_FEAT_PRECOMPUTED = False
+    n.IMAGE_PRETRAINED = ""
+    n.IMAGE_PRETRAINED_EPOCH = 0
+    n.IMAGE_FROZEN_BACKBONE_STAGES = [1, 2]
+    n.IMAGE_FROZEN_BN = True
+    n.IMAGE_FINAL_DIM = 512
+    n.IMAGE_SEMANTIC = False
+    n.OUTPUT_CONV5 = False
+    n.BERT_MODEL_NAME = "bert-base-uncased"
+    n.BERT_PRETRAINED = ""
+    n.BERT_PRETRAINED_EPOCH = 0
+    n.BERT_FROZEN = True
+    n.BERT_ALIGN_QUESTION = True
+    n.BERT_ALIGN_ANSWER = True
+    n.BERT_USE_LAYER = -2
+    n.BERT_WITH_NSP_LOSS = False
+    n.BERT_WITH_MLM_LOSS = False
+    n.ENABLE_CNN_REG_LOSS = False
+    n.CNN_LOSS_WEIGHT = 1.0
+    n.ANS_LOSS_WEIGHT = 1.0
+
+    v = n.VLBERT = AttrDict()
+    v.input_size = 1280
+    v.input_transform_type = 1
+    v.word_embedding_frozen = False
+    v.obj_pos_id_relative = True
+    v.hidden_size = 512
+    v.visual_size = 512
+    v.num_hidden_layers = 4
+    v.num_attention_heads = 8
+    v.intermediate_size = 2048
+    v.hidden_act = "gelu"
+    v.hidden_dropout_prob = 0.1
+    v.attention_probs_dropout_prob = 0.1
+    v.max_position_embeddings = 512
+    v.type_vocab_size = 3
+    v.vocab_size = 30522
+    v.initializer_range = 0.02
+    v.visual_scale_text_init = 0.0
+    v.visual_scale_object_init = 0.0
+    v.visual_ln = False
+    v.object_word_embed_mode = 2
+    v.with_pooler = False
+    v.position_padding_idx = -1
+
+    n.CLASSIFIER_TYPE = "2fc"  # 2fc / 1fc / mlm
+    n.CLASSIFIER_HIDDEN_SIZE = 1024
+    n.CLASSIFIER_DROPOUT = 0.1
+    n.CLASSIFIER_SIGMOID = False
+    n.CLASSIFIER_SIGMOID_LOSS_POSITIVE_WEIGHT = 1.0
+
+    t = c.TRAIN = AttrDict()
+    t.LR_MULT = []
+    t.SHUFFLE = True
+    t.FLIP_PROB = 0.5
+    t.BATCH_IMAGES = 1
+    t.ASPECT_GROUPING = True
+    t.RESUME = False
+    t.AUTO_RESUME = True
+    t.BEGIN_EPOCH = 0
+    t.END_EPOCH = 0
+    t.OPTIMIZER = "SGD"
+    t.CLIP_GRAD_NORM = -1
+    t.GRAD_ACCUMULATE_STEPS = 1
+    t.LR = 0.1
+    t.LR_SCHEDULE = "step"  # step / triangle / plateau
+    t.LR_FACTOR = 0.1
+    t.LR_STEP = ()
+    t.WARMUP = False
+    t.WARMUP_METHOD = "linear"
+    t.WARMUP_FACTOR = 1.0 / 3
+    t.WARMUP_STEPS = 1000
+    t.WD = 0.0001
+    t.MOMENTUM = 0.9
+    t.FP16 = False
+    t.FP16_LOSS_SCALE = 128.0
+    t.LOSS_LOGGERS = []
+
+    va = c.VAL = AttrDict()
+    va.SHUFFLE = False
+    va.FLIP_PROB = 0
+    va.BATCH_IMAGES = 1
+
+    te = c.TEST = AttrDict()
+    te.SHUFFLE = False
+    te.FLIP_PROB = 0
+    te.TEST_EPOCH = 0
+    te.BATCH_IMAGES = 1
+
+    # --- TPU-native additions (no reference counterpart) ---
+    tp = c.TPU = AttrDict()
+    tp.MESH_SHAPE = []           # e.g. [8] or [4, 2]; [] = all local devices on 'data'
+    tp.MESH_AXES = ["data"]      # axis names; 2nd axis (if any) is 'model'
+    tp.COMPUTE_DTYPE = "bfloat16"  # bf16 matmuls/convs; fp32 LN/softmax accumulation
+    tp.PARAM_DTYPE = "float32"
+    tp.MAX_TEXT_LEN = 64         # static text bucket
+    tp.MAX_BOXES = 108           # static box bucket (incl. whole-image box)
+    tp.IMAGE_SIZE = []           # [] = derive (max canvas) from SCALES
+    tp.PREFETCH_DEPTH = 2
+    tp.REMAT = False             # jax.checkpoint over encoder layers
+    tp.FUSED_ATTENTION = True    # Pallas fused attention kernel on TPU
+    return c
+
+
+def _vcr_config():
+    """VCR deltas (ref: vcr/function/config.py)."""
+    c = _common_config()
+    c.DATASET.LABEL_INDEX_IN_BATCH = 7
+    c.NETWORK.PARTIAL_PRETRAIN_SEGMB_INIT = False
+    c.NETWORK.IMAGE_SEMANTIC = True
+    c.NETWORK.QA_ONE_SENT = False
+    c.NETWORK.ENABLE_CNN_REG_LOSS = True
+    c.NETWORK.CNN_REG_DROPOUT = 0.0
+    c.NETWORK.CNN_LOSS_TOP = False
+    c.NETWORK.ANSWER_FIRST = False
+    c.NETWORK.LOAD_REL_HEAD = True
+    c.NETWORK.VLBERT.object_word_embed_mode = 1
+    c.NETWORK.VLBERT.with_pooler = True
+    c.TRAIN.VISUAL_SCALE_TEXT_LR_MULT = 1.0
+    c.TRAIN.VISUAL_SCALE_OBJECT_LR_MULT = 1.0
+    c.TRAIN.VISUAL_SCALE_CLIP_GRAD_NORM = -1
+    c.TRAIN.LOSS_LOGGERS = [("ans_loss", "AnsLoss"), ("cnn_regularization_loss", "CNNRegLoss")]
+    return c
+
+
+def _vqa_config():
+    """VQA deltas (ref: vqa/function/config.py)."""
+    c = _common_config()
+    c.DATASET.ANSWER_VOCAB_FILE = ""
+    c.DATASET.ANSWER_VOCAB_SIZE = 3129
+    c.DATASET.BOXES = "36"  # "36" or "10-100ada"
+    c.DATASET.USE_IMDB = True
+    c.NETWORK.ANS_LOSS_TYPE = "bce"  # 'bce' or 'ce'
+    c.NETWORK.REPLACE_OBJECT_CHANGE_LABEL = True
+    c.NETWORK.CLASSIFIER_PRETRAINED = False
+    c.TRAIN.VISUAL_SCALE_TEXT_LR_MULT = 1.0
+    c.TRAIN.VISUAL_SCALE_OBJECT_LR_MULT = 1.0
+    c.TRAIN.VISUAL_SCALE_CLIP_GRAD_NORM = -1
+    c.TRAIN.LOSS_LOGGERS = [("ans_loss", "AnsLoss")]
+    return c
+
+
+def _refcoco_config():
+    """RefCOCO+ deltas (ref: refcoco/function/config.py)."""
+    c = _common_config()
+    c.DATASET.ANSWER_VOCAB_FILE = ""
+    c.DATASET.ANSWER_VOCAB_SIZE = 3129
+    c.DATASET.TRAIN_BOXES = "gt"
+    c.DATASET.VAL_BOXES = "gt"
+    c.DATASET.TEST_BOXES = "gt"
+    c.DATASET.PROPOSAL_SOURCE = "official"
+    c.DATASET.USE_IMDB = True
+    c.NETWORK.ANS_LOSS_TYPE = "bce"
+    c.NETWORK.REPLACE_OBJECT_CHANGE_LABEL = True
+    c.NETWORK.CLASSIFIER_PRETRAINED = False
+    c.TRAIN.VISUAL_SCALE_TEXT_LR_MULT = 1.0
+    c.TRAIN.VISUAL_SCALE_OBJECT_LR_MULT = 1.0
+    c.TRAIN.VISUAL_SCALE_CLIP_GRAD_NORM = -1
+    c.TRAIN.LOSS_LOGGERS = [("cls_loss", "ClsLoss")]
+    return c
+
+
+def _pretrain_config():
+    """Pretrain deltas (ref: pretrain/function/config.py)."""
+    c = _common_config()
+    c.DATASET.ANSWER_VOCAB_FILE = ""
+    c.DATASET.ANSWER_VOCAB_SIZE = 3129
+    c.DATASET.SEQ_LEN = 64
+    c.DATASET.MIN_SEQ_LEN = 0
+    c.NETWORK.VLBERT.from_scratch = False
+    c.NETWORK.VLBERT.pos_embedding_frozen = False
+    c.NETWORK.VLBERT.visual_region_classes = 1601
+    c.NETWORK.WITH_REL_LOSS = True
+    c.NETWORK.WITH_MLM_LOSS = True
+    c.NETWORK.WITH_MVRC_LOSS = True
+    c.NETWORK.MLM_LOSS_NORM_IN_BATCH_FIRST = False
+    c.NETWORK.MVRC_LOSS_NORM_IN_BATCH_FIRST = False
+    c.NETWORK.MASK_RAW_PIXELS = True
+    c.TRAIN.LOSS_LOGGERS = [
+        ("relationship_loss", "RelLoss"),
+        ("mlm_loss", "MLMLoss"),
+        ("mvrc_loss", "MVRCLoss"),
+    ]
+    return c
+
+
+TASK_CONFIGS = {
+    "vcr": _vcr_config,
+    "vqa": _vqa_config,
+    "refcoco": _refcoco_config,
+    "pretrain": _pretrain_config,
+}
+
+
+def default_config(task):
+    try:
+        return TASK_CONFIGS[task]()
+    except KeyError:
+        raise ValueError(f"unknown task {task!r}; one of {sorted(TASK_CONFIGS)}")
+
+
+def _merge_vlbert(dst, src, path):
+    for k, v in src.items():
+        if k not in dst:
+            raise ValueError(f"key {path}.{k} not in default config")
+        dst[k] = v
+
+
+def update_config(config, config_file, allow_list_dataset=False):
+    """Overlay a YAML experiment file onto ``config`` in place (strict keys).
+
+    ref: vcr/function/config.py:174-202; list-DATASET handling from
+    pretrain/function/config.py:182-216.
+    """
+    with open(config_file) as f:
+        exp = yaml.safe_load(f)
+    if exp is None:
+        return config
+    for k, v in exp.items():
+        if k not in config:
+            raise ValueError(f"key {k} not in default config")
+        if k == "DATASET" and isinstance(v, list):
+            if not allow_list_dataset:
+                raise ValueError("list-valued DATASET only supported for pretrain configs")
+            templ = config["DATASET"]
+            filled = []
+            for ds in v:
+                entry = templ.clone()
+                for dk, dv in ds.items():
+                    if dk not in entry:
+                        raise ValueError(f"key DATASET.{dk} not in default config")
+                    entry[dk] = dv
+                filled.append(entry)
+            config["DATASET"] = filled
+            continue
+        if isinstance(v, dict):
+            for vk, vv in v.items():
+                if vk not in config[k]:
+                    raise ValueError(f"key {k}.{vk} not in default config")
+                if vk == "LR_STEP":
+                    config[k][vk] = tuple(float(s) for s in vv.split(","))
+                elif vk == "LOSS_LOGGERS":
+                    config[k][vk] = [tuple(str(s) for s in item.split(",")) for item in vv]
+                elif vk == "VLBERT" and isinstance(vv, dict):
+                    _merge_vlbert(config[k][vk], vv, f"{k}.{vk}")
+                else:
+                    config[k][vk] = vv
+        else:
+            if k == "SCALES":
+                config[k] = tuple(v)
+            else:
+                config[k] = v
+    return config
+
+
+def load_config(task, config_file=None):
+    """Build the default tree for ``task`` and optionally overlay a YAML file."""
+    cfg = default_config(task)
+    if config_file is not None:
+        update_config(cfg, config_file, allow_list_dataset=(task == "pretrain"))
+    return cfg
