@@ -17,6 +17,11 @@ import numpy as np
 import pytest
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# compilation in this environment is slow (~0.6 s per new computation); the
+# persistent cache makes test reruns cheap
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @pytest.fixture
