@@ -65,6 +65,54 @@ class AttrDict(dict):
         return copy.deepcopy(self)
 
 
+class FrozenConfig:
+    """Read-only attribute view over an AttrDict tree.
+
+    Not a dict subclass, so Flax module attributes keep attribute access
+    (Flax rewrites plain dict attributes into FrozenDicts).
+    """
+
+    __slots__ = ("_d",)
+
+    def __init__(self, d):
+        object.__setattr__(self, "_d", d)
+
+    def __getattr__(self, key):
+        try:
+            v = self._d[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+        return FrozenConfig(v) if isinstance(v, dict) else v
+
+    def __getitem__(self, key):
+        v = self._d[key]
+        return FrozenConfig(v) if isinstance(v, dict) else v
+
+    def __contains__(self, key):
+        return key in self._d
+
+    def __setattr__(self, key, value):
+        raise AttributeError("FrozenConfig is read-only")
+
+    def items(self):
+        return self._d.items()
+
+    def raw(self):
+        return self._d
+
+    def __repr__(self):
+        return f"FrozenConfig({self._d!r})"
+
+    def __eq__(self, other):
+        return isinstance(other, FrozenConfig) and self._d == other._d
+
+    def __hash__(self):
+        # stable content hash (AttrDicts are plain dicts underneath)
+        import json
+
+        return hash(json.dumps(self._d, sort_keys=True, default=str))
+
+
 def _common_config():
     """Options shared by all four tasks (ref: vcr/function/config.py:10-19)."""
     c = AttrDict()
