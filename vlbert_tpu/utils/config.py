@@ -97,6 +97,10 @@ class FrozenConfig:
     def items(self):
         return self._d.items()
 
+    def get(self, key, default=None):
+        v = self._d.get(key, default)
+        return FrozenConfig(v) if isinstance(v, dict) else v
+
     def raw(self):
         return self._d
 
