@@ -1,0 +1,130 @@
+"""Dataloader factory: cfg -> (transform, dataset, collator, loader).
+
+ref: pretrain/data/build.py:43-127 (mode -> annotation file / batch size /
+shuffle; DATASET_CATALOGS registry; make_dataloaders clones cfg per
+sub-dataset for multitask pretraining).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from vlbert_tpu.data.datasets.conceptual_captions import (
+    ConceptualCaptionsDataset, GeneralCorpusDataset, make_corpus_collate,
+    make_pretrain_collate)
+from vlbert_tpu.data.datasets.refcoco import RefCOCODataset, make_refcoco_collate
+from vlbert_tpu.data.datasets.vcr import VCRDataset, make_vcr_collate
+from vlbert_tpu.data.datasets.vqa import VQADataset, make_vqa_collate
+from vlbert_tpu.data.loader import DataLoader, MultiTaskLoader
+from vlbert_tpu.data.tokenization import BertTokenizer
+from vlbert_tpu.data.transforms import build_transforms
+
+DATASET_CATALOG = {
+    "conceptual_captions": ConceptualCaptionsDataset,
+    "coco_captions": ConceptualCaptionsDataset,  # same row format here
+    "general_corpus": GeneralCorpusDataset,
+    "vcr": VCRDataset,
+    "vqa": VQADataset,
+    "refcoco+": RefCOCODataset,
+    "refcoco": RefCOCODataset,
+}
+
+
+def _mode_fields(cfg, mode):
+    d = cfg.DATASET if not isinstance(cfg.DATASET, list) else cfg.DATASET[0]
+    if mode == "train":
+        return d.TRAIN_ANNOTATION_FILE, d.TRAIN_IMAGE_SET, cfg.TRAIN.BATCH_IMAGES, cfg.TRAIN.SHUFFLE
+    if mode == "val":
+        return d.VAL_ANNOTATION_FILE, d.VAL_IMAGE_SET, cfg.VAL.BATCH_IMAGES, cfg.VAL.SHUFFLE
+    return d.TEST_ANNOTATION_FILE, d.TEST_IMAGE_SET, cfg.TEST.BATCH_IMAGES, cfg.TEST.SHUFFLE
+
+
+def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
+                    num_replicas=None, rank=None):
+    """Build one loader. Per-host input sharding replaces DistributedSampler
+    (SURVEY §2.6): each JAX process loads its shard."""
+    d = dataset_cfg if dataset_cfg is not None else cfg.DATASET
+    ann_file, image_set, batch_images, shuffle = _mode_fields(cfg, mode)
+    if isinstance(batch_images, (list, tuple)):
+        batch_images = batch_images[0]
+    num_replicas = num_replicas if num_replicas is not None else jax.process_count()
+    rank = rank if rank is not None else jax.process_index()
+
+    tokenizer = tokenizer or BertTokenizer.from_pretrained(
+        cfg.NETWORK.BERT_MODEL_NAME)
+    transform = build_transforms(cfg, mode)
+    test_mode = mode == "test"
+
+    name = d.DATASET
+    ds_cls = DATASET_CATALOG[name]
+    common = dict(
+        ann_file=ann_file, image_set=image_set, root_path=d.ROOT_PATH,
+        data_path=d.DATASET_PATH, tokenizer=tokenizer, transform=transform,
+        test_mode=test_mode, zip_mode=d.ZIP_MODE,
+        add_image_as_a_box=d.ADD_IMAGE_AS_A_BOX,
+        seq_len=d.get("SEQ_LEN", 64),
+    )
+    max_text = cfg.TPU.MAX_TEXT_LEN
+    max_boxes = cfg.TPU.MAX_BOXES
+
+    if name in ("conceptual_captions", "coco_captions"):
+        ds = ds_cls(
+            with_precomputed_visual_feat=cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED,
+            mask_raw_pixels=cfg.NETWORK.MASK_RAW_PIXELS,
+            with_rel_task=cfg.NETWORK.WITH_REL_LOSS,
+            with_mlm_task=cfg.NETWORK.WITH_MLM_LOSS,
+            with_mvrc_task=cfg.NETWORK.WITH_MVRC_LOSS, **common)
+        collate = make_pretrain_collate(
+            max_text, max_boxes, cfg.NETWORK.VLBERT.visual_region_classes,
+            precomputed_dim=2048 if cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED else 0)
+    elif name == "general_corpus":
+        ds = ds_cls(ann_file=ann_file, tokenizer=tokenizer,
+                    seq_len=d.get("SEQ_LEN", 64),
+                    min_seq_len=d.get("MIN_SEQ_LEN", 64))
+        collate = make_corpus_collate(max_text)
+    elif name == "vcr":
+        ds = ds_cls(task=d.TASK,
+                    only_use_relevant_dets=d.ONLY_USE_RELEVANT_DETS,
+                    mask_size=(d.MASK_SIZE, d.MASK_SIZE),
+                    basic_align=d.BASIC_ALIGN, qa2r_noq=d.QA2R_NOQ, **common)
+        collate = make_vcr_collate(
+            tokenizer, max_text, max_boxes,
+            mask_size=(d.MASK_SIZE, d.MASK_SIZE),
+            answer_first=cfg.NETWORK.get("ANSWER_FIRST", False),
+            one_sent=cfg.NETWORK.get("QA_ONE_SENT", False),
+            test_mode=test_mode)
+    elif name == "vqa":
+        ds = ds_cls(answer_vocab_file=d.ANSWER_VOCAB_FILE,
+                    with_precomputed_visual_feat=cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED,
+                    **common)
+        collate = make_vqa_collate(
+            tokenizer, max_text, max_boxes,
+            precomputed_dim=2048 if cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED else 0,
+            test_mode=test_mode)
+    elif name in ("refcoco", "refcoco+"):
+        boxes_field = {"train": "TRAIN_BOXES", "val": "VAL_BOXES",
+                       "test": "TEST_BOXES"}[mode]
+        ds = ds_cls(boxes=d.get(boxes_field, "gt"), **common)
+        collate = make_refcoco_collate(tokenizer, max_text, max_boxes,
+                                       test_mode=test_mode)
+    else:
+        raise ValueError(f"unknown dataset {name!r}")
+
+    return DataLoader(ds, batch_images, collate,
+                      shuffle=shuffle and mode == "train",
+                      num_replicas=num_replicas, rank=rank,
+                      seed=max(cfg.RNG_SEED, 0))
+
+
+def make_multitask_dataloader(cfg, task, mode="train", tokenizer=None):
+    """Pretrain list-DATASET: master + aux loaders zipped
+    (ref pretrain/data/build.py:108-127)."""
+    assert isinstance(cfg.DATASET, list)
+    loaders = []
+    for ds_cfg in cfg.DATASET:
+        sub = cfg.clone()
+        sub.DATASET = ds_cfg
+        loaders.append(make_dataloader(sub, task, mode, tokenizer,
+                                       dataset_cfg=ds_cfg))
+    return MultiTaskLoader(loaders)

@@ -1,0 +1,302 @@
+"""VCR dataset + collator.
+
+ref: vcr/data/datasets/vcr.py. Semantics preserved:
+  * jsonl annotations + per-image metadata json (boxes [x1,y1,x2,y2,score],
+    polygon segms, object names, width/height);
+  * object references ``[obj_idx, ...]`` in mixed-token questions/answers
+    become object names, with persons mapped to rotating gender-neutral
+    names (:21-22, :297-304); each wordpiece carries a TAG = box index
+    (+1 when the whole image is box 0, :203-251);
+  * only_use_relevant_dets filter (:253-279);
+  * task wiring Q2A / QA2R (incl. qa2r_noq) (:388-426);
+  * joint q/a truncation to seq_len (:321-343);
+  * instance masks rasterized from polygons to mask_size (:355-358);
+  * whole-image box prepend with class 0 + all-ones mask (:359-363);
+  * box clamping (:382-386).
+
+The reference's on-device prepare_text_from_qa ([CLS] Q [SEP] A [SEP] per
+choice, vcr/modules/resnet_vlbert_for_vcr.py:135-164) happens in the
+COLLATOR here, producing static [B, C, T] tensors.
+
+Note: the reference also emits align matrices (:366-374) that its own task
+module accepts but never reads — they fed a legacy BERT-feature path — so
+they are intentionally not produced.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from copy import deepcopy
+
+import numpy as np
+
+from vlbert_tpu.data.collate import assemble_qa_text, pad_to, stack_batch
+from vlbert_tpu.data.zipreader import ZipReader, read_image
+from vlbert_tpu.utils.mask import generate_instance_mask
+
+GENDER_NEUTRAL_NAMES = ["Casey", "Riley", "Jessie", "Jackie", "Avery",
+                        "Jaime", "Peyton", "Kerry", "Jody", "Kendall",
+                        "Frankie", "Pat", "Quinn"]
+
+# ref :88-104 (categories list used for boxes[:, 5] class ids)
+VCR_CATEGORIES = None  # filled lazily from metadata object names
+
+
+def load_jsonl(path):
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+class VCRDataset:
+    def __init__(self, ann_file, image_set, root_path, data_path, *,
+                 tokenizer, transform=None, task="Q2A", test_mode=False,
+                 zip_mode=False, only_use_relevant_dets=False,
+                 add_image_as_a_box=True, mask_size=(14, 14),
+                 basic_align=False, qa2r_noq=False, seq_len=64,
+                 categories=None, **kwargs):
+        assert task in ("Q2A", "QA2R"), "Q2AR is driven as two datasets"
+        self.ann_file = ann_file if os.path.isabs(ann_file) \
+            else os.path.join(data_path, ann_file)
+        self.data_path = data_path
+        self.task = task
+        self.test_mode = test_mode
+        self.zip_mode = zip_mode
+        self.only_use_relevant_dets = only_use_relevant_dets
+        self.add_image_as_a_box = add_image_as_a_box
+        self.mask_size = tuple(mask_size) if not isinstance(mask_size, int) \
+            else (mask_size, mask_size)
+        self.basic_align = basic_align
+        self.qa2r_noq = qa2r_noq
+        self.seq_len = seq_len
+        self.tokenizer = tokenizer
+        self.transform = transform
+        self.person_name_id = 0
+        self.database = load_jsonl(self.ann_file)
+        # category -> id map: reference uses a fixed 81-category COCO-ish
+        # list; build from provided list or lazily from object names
+        self._categories = categories
+        self._cat_to_idx = ({c: i for i, c in enumerate(categories)}
+                            if categories else {})
+
+    def __len__(self):
+        return len(self.database)
+
+    def _cat_idx(self, name):
+        if name not in self._cat_to_idx:
+            self._cat_to_idx[name] = len(self._cat_to_idx) % 81
+        return self._cat_to_idx[name]
+
+    def _load_json(self, path):
+        if ".zip@" in path:
+            return json.loads(ZipReader.read(path).decode())
+        with open(path) as f:
+            return json.load(f)
+
+    def retokenize_with_tags(self, tokens, objects_replace_name, non_obj_tag):
+        """ref :203-251 — returns list of (token_id, tag)."""
+        parsed, tags = [], []
+        for mixed in tokens:
+            if isinstance(mixed, list):
+                names = [objects_replace_name[o] for o in mixed]
+                re_toks = self.tokenizer.tokenize(names[0])
+                parsed.extend(re_toks)
+                tags.extend([mixed[0] + non_obj_tag + 1] * len(re_toks))
+                for name, o in zip(names[1:], mixed[1:]):
+                    parsed.append("and")
+                    tags.append(non_obj_tag)
+                    re_toks = self.tokenizer.tokenize(name)
+                    parsed.extend(re_toks)
+                    tags.extend([o + non_obj_tag + 1] * len(re_toks))
+            else:
+                re_toks = self.tokenizer.tokenize(mixed)
+                parsed.extend(re_toks)
+                tags.extend([non_obj_tag] * len(re_toks))
+        ids = self.tokenizer.convert_tokens_to_ids(parsed)
+        return list(zip(ids, tags))
+
+    @staticmethod
+    def keep_only_relevant_dets(question, answer_choices, rationale_choices):
+        """ref :253-279 — remap object indices to the used subset."""
+        dets = []
+
+        def remap(tok_seq):
+            for i, tok in enumerate(tok_seq):
+                if isinstance(tok, list):
+                    for j, o in enumerate(tok):
+                        if o not in dets:
+                            dets.append(o)
+                        tok_seq[i][j] = dets.index(o)
+
+        remap(question)
+        if answer_choices is not None:
+            for a in answer_choices:
+                remap(a)
+        if rationale_choices is not None:
+            for r in rationale_choices:
+                remap(r)
+        return dets, question, answer_choices, rationale_choices
+
+    def __getitem__(self, index):
+        idb = deepcopy(self.database[index])
+        metadata = self._load_json(
+            os.path.join(self.data_path, idb["metadata_fn"])
+            if not os.path.isabs(idb["metadata_fn"]) else idb["metadata_fn"])
+        idb["boxes"] = metadata["boxes"]
+        idb["segms"] = metadata["segms"]
+
+        if self.only_use_relevant_dets:
+            dets, idb["question"], idb["answer_choices"], idb["rationale_choices"] = \
+                self.keep_only_relevant_dets(
+                    idb["question"], idb["answer_choices"],
+                    idb.get("rationale_choices")
+                    if self.task != "Q2A" else None)
+            idb["objects"] = [idb["objects"][i] for i in dets]
+            idb["boxes"] = [idb["boxes"][i] for i in dets]
+            idb["segms"] = [idb["segms"][i] for i in dets]
+
+        objects_replace_name = []
+        for o in idb["objects"]:
+            if o == "person":
+                objects_replace_name.append(
+                    GENDER_NEUTRAL_NAMES[self.person_name_id])
+                self.person_name_id = (self.person_name_id + 1) \
+                    % len(GENDER_NEUTRAL_NAMES)
+            else:
+                objects_replace_name.append(o)
+
+        non_obj_tag = 0 if self.add_image_as_a_box else -1
+        question = self.retokenize_with_tags(
+            idb["question"], objects_replace_name, non_obj_tag)
+        answers = [self.retokenize_with_tags(a, objects_replace_name, non_obj_tag)
+                   for a in idb["answer_choices"]]
+        rationales = None
+        if self.task != "Q2A":
+            rationales = [self.retokenize_with_tags(
+                r, objects_replace_name, non_obj_tag)
+                for r in idb["rationale_choices"]]
+
+        # truncation (ref :321-343)
+        if self.task == "Q2A":
+            for a in answers:
+                while len(question) + len(a) > self.seq_len:
+                    if len(a) > len(question):
+                        a.pop()
+                    else:
+                        question.pop()
+        else:
+            a_lab = answers[idb["answer_label"]] if not self.test_mode else answers[0]
+            for r in rationales:
+                while len(question) + len(a_lab) + len(r) > self.seq_len:
+                    if len(r) > (len(question) + len(a_lab)):
+                        r.pop()
+                    elif len(question) > 1:
+                        question.pop()
+                    else:
+                        a_lab.pop()
+
+        img_fn = idb["img_fn"] if os.path.isabs(idb["img_fn"]) \
+            else os.path.join(self.data_path, idb["img_fn"])
+        image = read_image(img_fn)
+        h0, w0 = image.shape[:2]
+        objects = idb["objects"]
+
+        boxes = np.zeros((len(objects), 6), np.float32)
+        masks = np.zeros((len(objects), *self.mask_size), np.float32)
+        if objects:
+            boxes[:, :5] = np.asarray(idb["boxes"], np.float32)
+            boxes[:, 5] = [self._cat_idx(o) for o in objects]
+            for i in range(len(objects)):
+                masks[i] = generate_instance_mask(
+                    idb["segms"][i], idb["boxes"][i], self.mask_size)
+        if self.add_image_as_a_box:                            # ref :359-363
+            image_box = np.asarray([[0, 0, w0 - 1, h0 - 1, 1.0, 0]], np.float32)
+            boxes = np.concatenate([image_box, boxes], 0)
+            masks = np.concatenate(
+                [np.ones((1, *self.mask_size), np.float32), masks], 0)
+
+        im_info = np.asarray([w0, h0, 1.0, 1.0], np.float32)
+        if self.transform is not None:
+            s = {"image": image, "boxes": boxes, "masks": masks,
+                 "im_info": im_info, "flipped": False}
+            s = self.transform(s)
+            image, boxes, masks, im_info = (s["image"], s["boxes"],
+                                            s["masks"], s["im_info"])
+
+        w, h = float(im_info[0]), float(im_info[1])
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w - 1)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h - 1)
+
+        # choice assembly (ref :388-426): Q2A query=question,
+        # QA2R query=question(+unless noq)+chosen answer, choices=rationales
+        if self.task == "Q2A":
+            query = question
+            choices = answers
+            label = idb.get("answer_label") if not self.test_mode else None
+        else:
+            a_lab = answers[idb["answer_label"]] if not self.test_mode else None
+            query = ([] if self.qa2r_noq else question) + (a_lab or [])
+            choices = rationales
+            label = idb.get("rationale_label") if not self.test_mode else None
+
+        out = {
+            "image": image,
+            "boxes": boxes[:, :4],
+            "objects": boxes[:, 5].astype(np.int32),
+            "box_scores": boxes[:, 4],
+            "masks": masks,
+            "query": query,          # list of (id, tag)
+            "choices": choices,      # C lists of (id, tag)
+            "im_info": im_info,
+        }
+        if label is not None:
+            out["label"] = np.int32(label)
+        return out
+
+
+def make_vcr_collate(tokenizer, max_text, max_boxes, mask_size=(14, 14),
+                     answer_first=False, one_sent=False, test_mode=False):
+    """Collate to the ResNetVLBERTForVCR batch tuple with static shapes."""
+    cls_id, sep_id = tokenizer.cls_id, tokenizer.sep_id
+    mh, mw = mask_size
+
+    def collate(samples):
+        C = len(samples[0]["choices"])
+        rows = []
+        for s in samples:
+            q_ids = [t[0] for t in s["query"]]
+            q_tags = [t[1] for t in s["query"]]
+            ids_c, types_c, tags_c, mask_c = [], [], [], []
+            for ch in s["choices"]:
+                a_ids = [t[0] for t in ch]
+                a_tags = [t[1] for t in ch]
+                ids, types, tags, tmask, _ = assemble_qa_text(
+                    q_ids, q_tags, a_ids, a_tags, max_text, cls_id, sep_id,
+                    answer_first=answer_first, one_sent=one_sent)
+                ids_c.append(ids)
+                types_c.append(types)
+                tags_c.append(tags)
+                mask_c.append(tmask)
+            O = max_boxes
+            rows.append({
+                "image": s["image"],
+                "boxes": pad_to(s["boxes"], (O, 4), -2.0, np.float32),
+                "objects": pad_to(s["objects"], (O,), 0, np.int32),
+                "segms": pad_to(s["masks"], (O, mh, mw), 0.0, np.float32),
+                "box_mask": pad_to(np.ones(len(s["boxes"]), bool), (O,), False),
+                "text_input_ids": np.stack(ids_c),
+                "text_token_type_ids": np.stack(types_c),
+                "text_tags": np.stack(tags_c),
+                "text_mask": np.stack(mask_c),
+                "im_info": s["im_info"],
+                "label": s.get("label", np.int32(0)),
+            })
+        b = stack_batch(rows)
+        out = (b["image"], b["boxes"], b["objects"], b["segms"],
+               b["box_mask"], b["text_input_ids"], b["text_token_type_ids"],
+               b["text_tags"], b["text_mask"], b["im_info"])
+        if not test_mode:
+            out = out + (b["label"],)
+        return out
+
+    return collate

@@ -1,0 +1,223 @@
+"""VQA 2.0 dataset + collator.
+
+ref: vqa/data/datasets/vqa.py. Preserved semantics: per-image precomputed
+bottom-up boxes/features json (base64, :159-180 incl. 'image_box_feature'
+fallback to mean), whole-image box prepend, box clamping, left/right token
+swap on horizontal flip (:261-274), VQA consensus soft targets
+min(1, matches/3) averaged leave-one-out (:286-306), answer vocab with
+<unk> handling, [CLS] Q [SEP] [MASK] [SEP] text assembly moved to the
+collator (ref module :141-167,196-209).
+
+Annotation input: either the official questions/annotations json pair
+(build_vqa_db) or a prepared jsonl where each row already has
+{image_fn, box_fn, width, height, question, answers}.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import numpy as np
+
+from vlbert_tpu.data.collate import assemble_qa_text, pad_to, stack_batch
+from vlbert_tpu.data.zipreader import ZipReader, read_image
+
+
+def b64_decode(s):
+    return base64.decodebytes(s.encode())
+
+
+def build_vqa_db(questions_file, annotations_file=None, image_fn_template="",
+                 box_fn_template=""):
+    """Join official VQA questions (+annotations) into db rows."""
+    with open(questions_file) as f:
+        questions = json.load(f)["questions"]
+    anns = {}
+    if annotations_file is not None:
+        with open(annotations_file) as f:
+            for a in json.load(f)["annotations"]:
+                anns[a["question_id"]] = a
+    db = []
+    for q in questions:
+        row = {
+            "image_id": q["image_id"],
+            "question_id": q["question_id"],
+            "question": q["question"],
+            "image_fn": image_fn_template.format(q["image_id"]),
+            "box_fn": box_fn_template.format(q["image_id"]),
+        }
+        if q["question_id"] in anns:
+            row["answers"] = [a["answer"]
+                              for a in anns[q["question_id"]]["answers"]]
+        db.append(row)
+    return db
+
+
+class VQADataset:
+    def __init__(self, ann_file, image_set, root_path, data_path, *,
+                 tokenizer, answer_vocab_file, transform=None,
+                 test_mode=False, zip_mode=False,
+                 with_precomputed_visual_feat=True,
+                 add_image_as_a_box=True, seed=0, **kwargs):
+        self.data_path = data_path
+        self.test_mode = test_mode
+        self.with_precomputed_visual_feat = with_precomputed_visual_feat
+        self.add_image_as_a_box = add_image_as_a_box
+        self.transform = transform
+        self.tokenizer = tokenizer
+
+        with open(answer_vocab_file) as f:
+            self.answer_vocab = [l.strip() for l in f if l.strip()]
+        self._unk = self.answer_vocab.index("<unk>") \
+            if "<unk>" in self.answer_vocab else 0
+
+        path = ann_file if os.path.isabs(ann_file) \
+            else os.path.join(data_path, ann_file)
+        if path.endswith(".jsonl"):
+            with open(path) as f:
+                self.database = [json.loads(l) for l in f if l.strip()]
+        else:
+            with open(path) as f:
+                self.database = json.load(f)
+
+    def __len__(self):
+        return len(self.database)
+
+    def _load_json(self, path):
+        if ".zip@" in path:
+            return json.loads(ZipReader.read(path).decode())
+        with open(path) as f:
+            return json.load(f)
+
+    def answer_to_ind(self, answer):
+        try:
+            return self.answer_vocab.index(answer)
+        except ValueError:
+            return self._unk
+
+    def get_soft_target(self, answers):
+        """VQA consensus leave-one-out (ref :286-306)."""
+        soft = np.zeros(len(self.answer_vocab), np.float32)
+        inds = [self.answer_to_ind(a) for a in answers]
+        gt = list(enumerate(inds))
+        for answer in set(inds):
+            accs = []
+            for g in gt:
+                others = [it for it in gt if it != g]
+                matching = [it for it in others if it[1] == answer]
+                accs.append(min(1.0, len(matching) / 3.0))
+            if answer != self._unk:
+                soft[answer] = sum(accs) / len(accs)
+        return soft
+
+    @staticmethod
+    def flip_tokens(tokens):
+        return ["right" if t == "left" else "left" if t == "right" else t
+                for t in tokens]
+
+    def __getitem__(self, index):
+        idb = self.database[index]
+        box_fn = idb["box_fn"] if os.path.isabs(idb["box_fn"]) \
+            else os.path.join(self.data_path, idb["box_fn"])
+        boxes_data = self._load_json(box_fn)
+        boxes = np.frombuffer(b64_decode(boxes_data["boxes"]), np.float32) \
+            .reshape((boxes_data["num_boxes"], -1)).copy()
+
+        feats = None
+        if self.with_precomputed_visual_feat:
+            image = None
+            w0, h0 = idb["width"], idb["height"]
+            feats = np.frombuffer(b64_decode(boxes_data["features"]),
+                                  np.float32) \
+                .reshape((boxes_data["num_boxes"], -1)).copy()
+        else:
+            img_fn = idb["image_fn"] if os.path.isabs(idb["image_fn"]) \
+                else os.path.join(self.data_path, idb["image_fn"])
+            image = read_image(img_fn)
+            h0, w0 = image.shape[:2]
+
+        if self.add_image_as_a_box:
+            boxes = np.concatenate(
+                [np.asarray([[0, 0, w0 - 1, h0 - 1]], np.float32), boxes], 0)
+            if self.with_precomputed_visual_feat:
+                if "image_box_feature" in boxes_data:
+                    ibf = np.frombuffer(
+                        b64_decode(boxes_data["image_box_feature"]),
+                        np.float32).reshape((1, -1))
+                else:
+                    ibf = feats.mean(0, keepdims=True)
+                feats = np.concatenate([ibf, feats], 0)
+
+        im_info = np.asarray([w0, h0, 1.0, 1.0], np.float32)
+        flipped = False
+        if self.transform is not None:
+            s = {"image": image, "boxes": boxes, "masks": None,
+                 "im_info": im_info, "flipped": False}
+            s = self.transform(s)
+            image, boxes, im_info = s["image"], s["boxes"], s["im_info"]
+            flipped = s["flipped"]
+
+        w, h = float(im_info[0]), float(im_info[1])
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w - 1)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h - 1)
+
+        q_tokens = idb.get("question_tokens") \
+            or self.tokenizer.basic_tokenizer.tokenize(idb["question"])
+        if flipped:
+            q_tokens = self.flip_tokens(q_tokens)              # ref :261-274
+        q_retok = self.tokenizer.tokenize(" ".join(q_tokens))
+        q_ids = self.tokenizer.convert_tokens_to_ids(q_retok)
+
+        if self.with_precomputed_visual_feat:
+            boxes = np.concatenate([boxes[:, :4], feats], 1)
+
+        out = {"image": image, "boxes": boxes.astype(np.float32),
+               "im_info": im_info, "q_ids": np.asarray(q_ids, np.int32)}
+        if not self.test_mode:
+            answers = idb["answers"]
+            if flipped:
+                answers = [" ".join(self.flip_tokens(a.split()))
+                           for a in answers]
+            out["label"] = self.get_soft_target(answers)
+        return out
+
+
+def make_vqa_collate(tokenizer, max_text, max_boxes, precomputed_dim=2048,
+                     test_mode=False):
+    """[CLS] Q [SEP] [MASK] [SEP]; ans_pos = index of [MASK]
+    (ref module :196-209 + prepare_text_from_qa :141-167)."""
+    cls_id, sep_id, mask_id = (tokenizer.cls_id, tokenizer.sep_id,
+                               tokenizer.mask_id)
+
+    def collate(samples):
+        rows = []
+        box_dim = 4 + precomputed_dim
+        for s in samples:
+            ids, types, _tags, tmask, ans_pos = assemble_qa_text(
+                list(s["q_ids"]), [0] * len(s["q_ids"]),
+                [mask_id], [0], max_text, cls_id, sep_id)
+            n_box = len(s["boxes"])
+            rows.append({
+                "image": s["image"],
+                "boxes": pad_to(s["boxes"], (max_boxes, box_dim), -2.0,
+                                np.float32),
+                "box_mask": pad_to(np.ones(n_box, bool), (max_boxes,), False),
+                "im_info": s["im_info"],
+                "text_input_ids": ids,
+                "text_token_type_ids": types,
+                "text_mask": tmask,
+                # the [MASK] sits right before the final [SEP]
+                "ans_pos": np.int32(ans_pos - 1),
+                "label": s.get("label", np.zeros(1, np.float32)),
+            })
+        b = stack_batch(rows)
+        out = (b["image"], b["boxes"], b["box_mask"], b["im_info"],
+               b["text_input_ids"], b["text_token_type_ids"], b["text_mask"],
+               b["ans_pos"])
+        if not test_mode:
+            out = out + (b["label"],)
+        return out
+
+    return collate

@@ -1,0 +1,167 @@
+"""Host-side image/box transforms in numpy (NHWC output for TPU).
+
+ref: vcr/data/transforms/transforms.py (Resize :28-66, RandomHorizontalFlip
+:69-79, ToTensor/Normalize :82-97 with BGRx255 caffe means, FixPadding
+:100-120) and the vqa/refcoco variants that thread a ``flipped`` flag and
+tolerate image=None (precomputed mode,
+vqa/data/transforms/transforms.py:14-17,56-68).
+
+Images flow as float32 numpy [H, W, 3] RGB in [0, 1]; Normalize converts to
+BGRx255 minus caffe pixel means (reference ToTensor+Normalize combo);
+FixPadding produces the static canvas XLA needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, sample):
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+class Sample(dict):
+    """image, boxes [N,4], masks [N,mh,mw] or None, im_info [4], flipped."""
+
+    __getattr__ = dict.__getitem__
+    __setattr__ = dict.__setitem__
+
+
+def resize_size(w, h, min_size, max_size):
+    """Shortest-edge resize with max cap (ref :34-54)."""
+    size = min_size
+    if max_size is not None:
+        mn, mx = float(min(w, h)), float(max(w, h))
+        if mx / mn * size > max_size:
+            size = int(max_size * mn / mx)
+    if (w <= h and w == size) or (h <= w and h == size):
+        return w, h
+    if w < h:
+        return size, int(size * h / w)
+    return int(size * w / h), size
+
+
+class Resize:
+    def __init__(self, min_size, max_size):
+        self.min_size = min_size
+        self.max_size = max_size
+
+    def __call__(self, s):
+        if s["image"] is None:
+            # precomputed mode still rescales boxes by a ratio of 1
+            # (vqa variant tolerates image=None)
+            s["im_info"][2] = s["im_info"][3] = 1.0
+            return s
+        h, w = s["image"].shape[:2]
+        ow, oh = resize_size(w, h, self.min_size, self.max_size)
+        if (ow, oh) != (w, h):
+            s["image"] = _resize_bilinear(s["image"], oh, ow)
+        rw, rh = ow / w, oh / h
+        if s["boxes"] is not None:
+            s["boxes"][:, [0, 2]] *= rw
+            s["boxes"][:, [1, 3]] *= rh
+        s["im_info"][0], s["im_info"][1] = ow, oh
+        s["im_info"][2], s["im_info"][3] = rw, rh
+        return s
+
+
+def _resize_bilinear(img, oh, ow):
+    """PIL-equivalent bilinear resize via torch (host-side, cheap)."""
+    try:
+        from PIL import Image
+
+        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        out = pil.resize((ow, oh), Image.BILINEAR)
+        return np.asarray(out, np.float32) / 255.0
+    except ImportError:
+        import torch
+        import torch.nn.functional as TF
+
+        t = torch.from_numpy(img).permute(2, 0, 1)[None]
+        out = TF.interpolate(t, size=(oh, ow), mode="bilinear",
+                             align_corners=False)
+        return out[0].permute(1, 2, 0).numpy()
+
+
+class RandomHorizontalFlip:
+    def __init__(self, prob=0.5, rng=None):
+        self.prob = prob
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, s):
+        if self.rng.random() < self.prob:
+            s["flipped"] = True
+            if s["image"] is not None:
+                h, w = s["image"].shape[:2]
+            else:
+                w = s["im_info"][0]
+            s["image"] = s["image"][:, ::-1].copy() if s["image"] is not None else None
+            if s["boxes"] is not None:
+                b = s["boxes"]
+                b[:, [0, 2]] = w - 1 - b[:, [2, 0]]          # ref :77
+            if s.get("masks") is not None:
+                s["masks"] = s["masks"][:, :, ::-1].copy()
+        return s
+
+
+class Normalize:
+    """BGRx255 caffe normalization (ref :87-97 + ToTensor)."""
+
+    def __init__(self, mean, std, to_bgr255=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_bgr255 = to_bgr255
+
+    def __call__(self, s):
+        if s["image"] is None:
+            return s
+        img = s["image"]
+        if self.to_bgr255:
+            img = img[:, :, ::-1] * 255.0
+        s["image"] = ((img - self.mean) / self.std).astype(np.float32)
+        return s
+
+
+class FixPadding:
+    """Pad to the deterministic (min,max) canvas (ref :100-120) —
+    static shapes for XLA."""
+
+    def __init__(self, min_size, max_size, pad=0):
+        self.min_size = min_size
+        self.max_size = max_size
+        self.pad = pad
+
+    def __call__(self, s):
+        if s["image"] is None:
+            return s
+        h, w = s["image"].shape[:2]
+        if h <= w:
+            h1, w1 = self.min_size, self.max_size
+        else:
+            h1, w1 = self.max_size, self.min_size
+        canvas = np.full((h1, w1, s["image"].shape[2]), self.pad, np.float32)
+        canvas[:h, :w] = s["image"]
+        s["image"] = canvas
+        return s
+
+
+def build_transforms(cfg, mode="train", rng=None):
+    """ref: <task>/data/build.py:17-41."""
+    flip_prob = (cfg.TRAIN.FLIP_PROB if mode == "train"
+                 else cfg.VAL.FLIP_PROB if mode == "val" else cfg.TEST.FLIP_PROB)
+    min_size, max_size = (min(cfg.SCALES), max(cfg.SCALES)) if cfg.SCALES \
+        else (600, 1000)
+    mean = cfg.NETWORK.PIXEL_MEANS or (102.9801, 115.9465, 122.7717)
+    std = cfg.NETWORK.PIXEL_STDS or (1.0, 1.0, 1.0)
+    return Compose([
+        Resize(min_size, max_size),
+        RandomHorizontalFlip(flip_prob, rng=rng),
+        Normalize(mean, std, to_bgr255=True),
+        FixPadding(min_size, max_size),
+    ])

@@ -1,0 +1,52 @@
+"""Process-wide zip handle cache with the ``archive.zip@/inner/path``
+convention (ref: common/utils/zipreader.py:8-86)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+
+class ZipReader:
+    _handles = {}
+
+    @classmethod
+    def get_zipfile(cls, path):
+        if path not in cls._handles:
+            cls._handles[path] = zipfile.ZipFile(path, "r")
+        return cls._handles[path]
+
+    @staticmethod
+    def split_zip_style_path(path):
+        assert "@" in path, f"character '@' is not found in {path}"
+        pos = path.index("@")
+        zip_path = path[:pos]
+        inner = path[pos + 1:].lstrip("/")
+        return zip_path, inner
+
+    @classmethod
+    def read(cls, path):
+        zip_path, inner = cls.split_zip_style_path(path)
+        return cls.get_zipfile(zip_path).read(inner)
+
+    @classmethod
+    def imread(cls, path):
+        """Returns float32 RGB [H, W, 3] in [0, 1]."""
+        from PIL import Image
+        import numpy as np
+
+        data = cls.read(path)
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        return np.asarray(img, np.float32) / 255.0
+
+
+def read_image(path):
+    """Read an image from a plain path or zip@/inner path."""
+    import numpy as np
+
+    if "@" in path:
+        return ZipReader.imread(path)
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"), np.float32) / 255.0

@@ -1,0 +1,50 @@
+"""Polygon -> instance-mask rasterizer (numpy).
+
+ref: common/utils/mask.py:5-32 (skimage.draw.polygon based). Reimplemented
+with a vectorized even-odd scanline fill over the mask grid — skimage is not
+a dependency here; semantics match skimage.draw.polygon (vertices clamped
+into the grid, integer grid-point-inside-polygon test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def polygon_fill(r, c, shape):
+    """Grid points inside the polygon with vertices (r[i], c[i]).
+
+    Vectorized even-odd rule evaluated at integer grid points, matching
+    skimage.draw.polygon's point-in-polygon semantics.
+    """
+    r = np.asarray(r, np.float64)
+    c = np.asarray(c, np.float64)
+    H, W = shape
+    rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    inside = np.zeros((H, W), bool)
+    n = len(r)
+    j = n - 1
+    for i in range(n):
+        ri, ci = r[i], c[i]
+        rj, cj = r[j], c[j]
+        cond = ((ci > cc) != (cj > cc)) & (
+            rr < (rj - ri) * (cc - ci) / (cj - ci + 1e-12) + ri)
+        inside ^= cond
+        j = i
+    return inside
+
+
+def generate_instance_mask(seg_polys, box, mask_size=(14, 14)):
+    """ref common/utils/mask.py:5-32: rescale polygons into the box-local
+    mask grid and rasterize. seg_polys: list of [N, 2] (x, y) arrays."""
+    mh, mw = mask_size
+    mask = np.zeros(mask_size, np.float32)
+    w_ratio = float(mh) / (box[2] - box[0] + 1)   # note: reference uses
+    h_ratio = float(mw) / (box[3] - box[1] + 1)   # mask_size[0]/w, [1]/h
+    for poly in seg_polys:
+        poly = np.asarray(poly, np.float32)
+        x = np.clip((poly[:, 0] - box[0]) * w_ratio, 0, mw - 1)
+        y = np.clip((poly[:, 1] - box[1]) * h_ratio, 0, mh - 1)
+        # skimage polygon(y, x): rows = y, cols = x, even-odd fill
+        mask[polygon_fill(y, x, mask_size)] = 1.0
+    return mask
