@@ -1,0 +1,22 @@
+"""vcr training entry point (ref: vcr/train_end2end.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from vlbert_tpu.engine.cli import maybe_init_distributed, parse_args
+from vlbert_tpu.engine.train import train_net
+from vlbert_tpu.utils.config import load_config
+
+
+def main():
+    args = parse_args("vcr", "Train VL-BERT (vcr) on TPU")
+    maybe_init_distributed(args)
+    config = load_config("vcr", args.cfg)
+    state = train_net(args, config, "vcr")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,9 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
     ann_file, image_set, batch_images, shuffle = _mode_fields(cfg, mode)
     if isinstance(batch_images, (list, tuple)):
         batch_images = batch_images[0]
+    # BATCH_IMAGES is per-device (reference: per-GPU, ref build.py:49-55);
+    # one host process feeds all its local devices
+    batch_images = batch_images * jax.local_device_count()
     num_replicas = num_replicas if num_replicas is not None else jax.process_count()
     rank = rank if rank is not None else jax.process_index()
 
@@ -114,7 +117,8 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
     return DataLoader(ds, batch_images, collate,
                       shuffle=shuffle and mode == "train",
                       num_replicas=num_replicas, rank=rank,
-                      seed=max(cfg.RNG_SEED, 0))
+                      seed=max(cfg.RNG_SEED, 0),
+                      drop_last=(mode == "train"))
 
 
 def make_multitask_dataloader(cfg, task, mode="train", tokenizer=None):

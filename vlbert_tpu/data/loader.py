@@ -77,6 +77,12 @@ class DataLoader:
 
     def _batches(self):
         idx = self.sampler.indices()
+        if not self.drop_last and len(idx) % self.batch_size:
+            # pad by wrapping so every batch is full (static shapes); the
+            # reference's DistributedSampler pads to divisibility the same
+            # way (ref distributed.py:47-49)
+            pad = self.batch_size - len(idx) % self.batch_size
+            idx = np.concatenate([idx, idx[:pad]])
         nb = len(self)
         for b in range(nb):
             yield idx[b * self.batch_size:(b + 1) * self.batch_size]

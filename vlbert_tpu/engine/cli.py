@@ -1,0 +1,36 @@
+"""Shared CLI for the task entry points (ref: vcr/train_end2end.py:11-48).
+
+Preserved flags: --cfg, --model-dir, --log-dir, --do-test; --dist now means
+multi-host jax.distributed instead of NCCL process groups.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(task, description):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--cfg", type=str, required=True,
+                        help="path to experiment yaml")
+    parser.add_argument("--model-dir", type=str, default="",
+                        help="root path to store checkpoints")
+    parser.add_argument("--log-dir", type=str, default=None)
+    parser.add_argument("--dist", action="store_true",
+                        help="multi-host: calls jax.distributed.initialize()")
+    parser.add_argument("--do-test", action="store_true",
+                        help="run test after training")
+    parser.add_argument("--ckpt", type=str, default="",
+                        help="(test) checkpoint path; default <prefix>-best.model")
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--result-path", type=str, default="./results")
+    parser.add_argument("--result-name", type=str, default="result")
+    args, rest = parser.parse_known_args()
+    return args
+
+
+def maybe_init_distributed(args):
+    if args.dist:
+        import jax
+
+        jax.distributed.initialize()

@@ -1,0 +1,131 @@
+"""train_net — the experiment driver (ref: vcr/function/train.py:37-339,
+pretrain/function/train.py, parameterized by task instead of copied x4).
+
+Flow preserved: logger + output dir, model build, loaders, optimizer with
+LR x global-batch scaling + LR_MULT groups, partial-pretrain warm start with
+prefix rewrite + NSP->binary-classifier surgery, AUTO_RESUME, metrics,
+Speedometer, per-epoch validation + checkpointing. Distributed init is
+jax.distributed (multi-host) + mesh sharding instead of NCCL DDP.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlbert_tpu.data.build import make_dataloader, make_multitask_dataloader
+from vlbert_tpu.data.tokenization import BertTokenizer
+from vlbert_tpu.models.task_modules import build_module
+from vlbert_tpu.parallel.mesh import make_mesh
+from vlbert_tpu.training import checkpoint as ckpt_lib
+from vlbert_tpu.training.loop import create_train_state, fit
+from vlbert_tpu.utils.config import FrozenConfig
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logger(output_path, rank=0):
+    os.makedirs(output_path, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(output_path, f"train_rank{rank}.log")),
+        ],
+        force=True)
+
+
+def nsp_to_binary_classifier_surgery(pretrain_flat, config):
+    """ref vcr/function/train.py:215-222: final_mlp last layer initialized as
+    rel-head row1 - row0 (NSP 'is-match' minus 'not-match')."""
+    wkey = "vlbert.relationship_head.caption_image_relationship.kernel"
+    bkey = "vlbert.relationship_head.caption_image_relationship.bias"
+    if wkey in pretrain_flat and config.NETWORK.get("LOAD_REL_HEAD", False):
+        w = np.asarray(pretrain_flat[wkey])       # [H, 2] (flax layout)
+        b = np.asarray(pretrain_flat[bkey])       # [2]
+        pretrain_flat["final_mlp.dense_1.kernel"] = (w[:, 1:2] - w[:, 0:1])
+        pretrain_flat["final_mlp.dense_1.bias"] = (b[1:2] - b[0:1])
+    return pretrain_flat
+
+
+def train_net(args, config, task):
+    rank = jax.process_index()
+    output_path = os.path.join(
+        config.OUTPUT_PATH or args.model_dir or "./output",
+        f"{task}_train")
+    setup_logger(output_path, rank)
+    logger.info("config: %s", dict(config))
+
+    mesh = make_mesh(config.TPU.MESH_SHAPE, config.TPU.MESH_AXES)
+    logger.info("mesh: %s over %d devices", mesh, jax.device_count())
+
+    tokenizer = BertTokenizer.from_pretrained(config.NETWORK.BERT_MODEL_NAME)
+    dtype = jnp.bfloat16 if config.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    model = build_module(config, task, dtype=dtype, remat=config.TPU.REMAT)
+
+    if task == "pretrain" and isinstance(config.DATASET, list):
+        train_loader = make_multitask_dataloader(config, task, "train", tokenizer)
+        val_loader = None
+    else:
+        train_loader = make_dataloader(config, task, "train", tokenizer)
+        val_loader = make_dataloader(config, task, "val", tokenizer)
+
+    steps_per_epoch = len(train_loader)
+    sample = next(iter(train_loader))
+    grad_accum = max(int(config.TRAIN.GRAD_ACCUMULATE_STEPS), 1)
+    if grad_accum > 1:
+        def split(x):
+            if x is None:
+                return None
+            assert x.shape[0] % grad_accum == 0
+            return x.reshape(grad_accum, x.shape[0] // grad_accum, *x.shape[1:])
+        sample_init = jax.tree_util.tree_map(lambda x: x[0] if x is not None else None,
+                                             jax.tree_util.tree_map(split, sample))
+    else:
+        sample_init = sample
+
+    state, tx, sched = create_train_state(model, sample_init, config,
+                                          steps_per_epoch)
+
+    # partial-pretrain warm start (ref :199-232)
+    if config.NETWORK.PARTIAL_PRETRAIN:
+        from vlbert_tpu.training.convert import load_torch_or_native_checkpoint
+
+        flat = load_torch_or_native_checkpoint(config.NETWORK.PARTIAL_PRETRAIN)
+        prefix_changes = [pc.split("->") for pc in
+                          config.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES]
+        flat = nsp_to_binary_classifier_surgery(flat, config)
+        new_params, loaded = ckpt_lib.partial_load(
+            jax.device_get(state.params["params"]), flat,
+            prefix_changes=[tuple(pc) for pc in prefix_changes])
+        state = state.replace(params={**state.params, "params": new_params})
+        logger.info("partial pretrain: loaded %d tensors", len(loaded))
+
+    model_prefix = os.path.join(output_path, config.MODEL_PREFIX or "vlbert_tpu")
+    begin_epoch = config.TRAIN.BEGIN_EPOCH
+    if config.TRAIN.AUTO_RESUME:
+        state, begin_epoch, extra = ckpt_lib.auto_resume(
+            model_prefix, state, config.TRAIN.END_EPOCH)
+
+    def checkpoint_fn(st, epoch, best_val):
+        if rank == 0:
+            path = ckpt_lib.save_checkpoint(model_prefix, epoch, st,
+                                            extra={"best_val": best_val})
+            ckpt_lib.mirror_best(model_prefix, path)
+
+    validation_fn = None
+    if val_loader is not None:
+        from vlbert_tpu.engine.val import make_validation_fn
+
+        validation_fn = make_validation_fn(model, config, task, mesh)
+
+    state = fit(model, config, task, train_loader, steps_per_epoch,
+                val_loader=val_loader, mesh=mesh, state=state, tx=tx,
+                checkpoint_fn=checkpoint_fn, validation_fn=validation_fn,
+                begin_epoch=begin_epoch)
+    return state

@@ -1,0 +1,47 @@
+"""do_validation (ref: vcr/function/val.py:7, common/callbacks/
+validation_monitor.py:5-46): run inference over the val loader, compute
+metrics with the label columns from the batch."""
+
+from __future__ import annotations
+
+import jax
+
+from vlbert_tpu.parallel.mesh import shard_batch
+from vlbert_tpu.training import metrics as metrics_lib
+
+# per-task mapping: which trailing batch entries are labels, and the output
+# key each one feeds (ref DATASET.LABEL_INDEX_IN_BATCH)
+TASK_LABELS = {
+    "vcr": {"label": -1},
+    "vqa": {"label": -1},
+    "refcoco": {"label": -1},
+    "pretrain": {},
+}
+
+
+def make_validation_fn(model, config, task, mesh):
+    label_map = TASK_LABELS[task]
+    n_labels = len(label_map)
+
+    def eval_step(params, model_inputs, labels):
+        outputs = dict(model.apply(params, *model_inputs, train=False))
+        outputs.update(labels)
+        return metrics_lib.device_metrics(task, config, outputs)
+
+    jit_eval = jax.jit(eval_step)
+
+    def validation_fn(state, val_loader):
+        acc = metrics_lib.HostAccumulator()
+        with mesh:
+            for batch in val_loader:
+                batch = shard_batch(batch, mesh)
+                if n_labels:
+                    model_inputs = batch[:-n_labels]
+                    labels = {k: batch[idx] for k, idx in label_map.items()}
+                else:
+                    model_inputs, labels = batch, {}
+                dm = jit_eval(state.params, model_inputs, labels)
+                acc.update(jax.device_get(dm))
+        return acc.get()
+
+    return validation_fn

@@ -202,7 +202,8 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                     and (epoch + 1) % max(config.VAL_FREQUENT, 1) == 0:
                 val = validation_fn(state, val_loader)
                 logger.info("Epoch[%d] val: %s", epoch, val)
-                host_val = max(val.values()) if isinstance(val, dict) else val
+                host_val = (max(val.values()) if isinstance(val, dict) and val
+                            else val if not isinstance(val, dict) else float("-inf"))
                 if host_val > best_val:
                     best_val = host_val
             if checkpoint_fn is not None \
