@@ -1,0 +1,57 @@
+"""Native RLE codec tests (C++ via ctypes vs numpy golden)."""
+
+import numpy as np
+import pytest
+
+from vlbert_tpu.data import coco_mask
+
+
+def test_native_lib_loads():
+    assert coco_mask._load_lib(), "native/libmaskapi.so must be built"
+
+
+def test_roundtrip(rng):
+    m = (rng.uniform(size=(23, 17)) > 0.6).astype(np.uint8)
+    counts = coco_mask.encode(m)
+    m2 = coco_mask.decode(counts, 23, 17)
+    np.testing.assert_array_equal(m, m2)
+
+
+def test_bbox_and_area(rng):
+    m = np.zeros((20, 30), np.uint8)
+    m[5:12, 8:25] = 1
+    counts = coco_mask.encode(m)
+    bb = coco_mask.to_bbox(counts, 20, 30)
+    np.testing.assert_array_equal(bb, [8, 5, 17, 7])
+    assert coco_mask.area(counts) == 7 * 17
+    # empty mask
+    e = coco_mask.encode(np.zeros((4, 4), np.uint8))
+    np.testing.assert_array_equal(coco_mask.to_bbox(e, 4, 4), [0, 0, 0, 0])
+
+
+def test_iou(rng):
+    a = np.zeros((10, 10), np.uint8)
+    b = np.zeros((10, 10), np.uint8)
+    a[0:5, 0:10] = 1     # 50 px
+    b[0:10, 0:5] = 1     # 50 px, intersection 25
+    ca, cb = coco_mask.encode(a), coco_mask.encode(b)
+    assert abs(coco_mask.iou(ca, cb) - 25 / 75) < 1e-9
+    assert abs(coco_mask.iou(ca, ca) - 1.0) < 1e-9
+
+
+def test_from_poly():
+    counts = coco_mask.from_poly([(2, 2), (8, 2), (8, 8), (2, 8)], 12, 12)
+    m = coco_mask.decode(counts, 12, 12)
+    assert m[4, 4] == 1 and m[0, 0] == 0 and m[10, 10] == 0
+    assert 30 <= m.sum() <= 40    # ~6x6 square
+
+
+def test_numpy_fallback_matches_native(rng, monkeypatch):
+    m = (rng.uniform(size=(15, 11)) > 0.5).astype(np.uint8)
+    c_native = coco_mask.encode(m)
+    native_decoded = coco_mask.decode(c_native, 15, 11)
+    monkeypatch.setattr(coco_mask, "_LIB", False)
+    c_np = coco_mask.encode(m)
+    np.testing.assert_array_equal(np.asarray(c_native), np.asarray(c_np))
+    np.testing.assert_array_equal(coco_mask.decode(c_np, 15, 11),
+                                  native_decoded)

@@ -71,13 +71,20 @@ class BertLayerNorm(nn.Module):
 
 
 class BertSelfAttention(nn.Module):
-    """Multi-head self-attention (ref: modeling.py:268-319)."""
+    """Multi-head self-attention (ref: modeling.py:268-319).
+
+    With ``fused`` set and no attention-prob dropout active, the whole
+    QK^T+bias+softmax+V pipeline runs as one Pallas kernel
+    (ops/attention.py); the probs-dropout / output-probs paths use the
+    unfused XLA pipeline to keep RNG semantics identical to the reference.
+    """
 
     num_heads: int
     hidden_size: int
     dropout_rate: float
     initializer_range: float
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, hidden, attention_bias, deterministic=True,
@@ -91,6 +98,13 @@ class BertSelfAttention(nn.Module):
         q = q.reshape(B, L, self.num_heads, head_dim)
         k = k.reshape(B, L, self.num_heads, head_dim)
         v = v.reshape(B, L, self.num_heads, head_dim)
+
+        if self.fused and not output_attention_probs and (
+                deterministic or self.dropout_rate == 0.0):
+            from vlbert_tpu.ops.attention import fused_attention
+
+            ctx = fused_attention(q, k, v, attention_bias)
+            return ctx.reshape(B, L, self.hidden_size).astype(self.dtype)
 
         # scores in fp32 for a numerically stable softmax
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -118,13 +132,14 @@ class BertAttention(nn.Module):
     hidden_dropout: float
     initializer_range: float
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
                  output_attention_probs=False):
         attn = BertSelfAttention(
             self.num_heads, self.hidden_size, self.attention_dropout,
-            self.initializer_range, self.dtype, name="self")(
+            self.initializer_range, self.dtype, self.fused, name="self")(
                 x, attention_bias, deterministic, output_attention_probs)
         probs = None
         if output_attention_probs:
@@ -150,6 +165,7 @@ class BertLayer(nn.Module):
     hidden_dropout: float
     initializer_range: float
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
@@ -157,7 +173,7 @@ class BertLayer(nn.Module):
         attn_out = BertAttention(
             self.num_heads, self.hidden_size, self.attention_dropout,
             self.hidden_dropout, self.initializer_range, self.dtype,
-            name="attention")(x, attention_bias, deterministic,
+            self.fused, name="attention")(x, attention_bias, deterministic,
                               output_attention_probs)
         probs = None
         if output_attention_probs:
@@ -192,6 +208,7 @@ class BertEncoder(nn.Module):
     initializer_range: float
     dtype: Any = jnp.float32
     remat: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
@@ -206,7 +223,8 @@ class BertEncoder(nn.Module):
             layer = layer_cls(
                 self.num_heads, self.hidden_size, self.intermediate_size,
                 self.hidden_act, self.attention_dropout, self.hidden_dropout,
-                self.initializer_range, self.dtype, name=f"layer_{i}")
+                self.initializer_range, self.dtype, self.fused,
+                name=f"layer_{i}")
             x = layer(x, attention_bias, deterministic, output_attention_probs)
             if output_attention_probs:
                 x, probs = x

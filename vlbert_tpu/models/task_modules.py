@@ -602,8 +602,11 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
     key = f"{config.MODULE}:{task}"
     if key not in MODULES:
         raise ValueError(f"unknown module {config.MODULE!r} for task {task!r}")
-    vl_cfg = VLBertConfig.from_attrdict(config.NETWORK.VLBERT, dtype=dtype,
-                                        remat=remat)
+    fused = bool(config.get("TPU", {}) and config.TPU.get("FUSED_ATTENTION", False)) \
+        if "TPU" in config else False
+    vl_cfg = VLBertConfig.from_attrdict(
+        config.NETWORK.VLBERT, dtype=dtype, remat=remat,
+        fused_attention=kwargs.get("fused_attention", fused))
     if not isinstance(config, FrozenConfig):
         config = FrozenConfig(config)
     cls = MODULES[key]

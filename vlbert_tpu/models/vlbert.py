@@ -78,13 +78,16 @@ class VLBertConfig:
     # TPU-native knobs
     dtype: Any = jnp.float32
     remat: bool = False
+    fused_attention: bool = False
 
     @classmethod
-    def from_attrdict(cls, d, dtype=jnp.float32, remat=False):
+    def from_attrdict(cls, d, dtype=jnp.float32, remat=False,
+                      fused_attention=False):
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in fields}
         kwargs["dtype"] = dtype
         kwargs["remat"] = remat
+        kwargs["fused_attention"] = fused_attention
         return cls(**kwargs)
 
 
@@ -152,6 +155,7 @@ class VisualLinguisticBert(nn.Module):
             initializer_range=c.initializer_range,
             dtype=c.dtype,
             remat=c.remat,
+            fused=c.fused_attention,
             name="encoder")
         if c.with_pooler:
             self.pooler = BertPooler(

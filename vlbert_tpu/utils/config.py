@@ -266,7 +266,11 @@ def _common_config():
     tp.IMAGE_SIZE = []           # [] = derive (max canvas) from SCALES
     tp.PREFETCH_DEPTH = 2
     tp.REMAT = False             # jax.checkpoint over encoder layers
-    tp.FUSED_ATTENTION = True    # Pallas fused attention kernel on TPU
+    # Pallas fused attention kernel. MEASURED SLOWER than XLA's own fusion at
+    # VL-BERT's short sequence lengths (372 vs 433 img/s on v5e for the
+    # base fwd bench: lane padding to 128 dominates at L~85-150), so off by
+    # default; available for long-box configs where padding amortizes.
+    tp.FUSED_ATTENTION = False
     return c
 
 
