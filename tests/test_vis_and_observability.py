@@ -1,0 +1,108 @@
+"""Attention-dump + Speedometer/observability tests."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vlbert_tpu.engine.vis import dump_attention_maps
+from vlbert_tpu.models.vlbert import VisualLinguisticBert, VLBertConfig
+
+
+class TinyTok:
+    def convert_ids_to_tokens(self, ids):
+        return [f"tok{i}" for i in ids]
+
+
+def test_dump_attention_maps(tmp_path, rng):
+    cfg = VLBertConfig(
+        vocab_size=100, hidden_size=32, visual_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, visual_ln=True,
+        visual_scale_text_init=1.0, visual_scale_object_init=1.0,
+        with_pooler=False)
+    model = VisualLinguisticBert(cfg)
+    B, T, O = 2, 6, 3
+    ids = jnp.asarray(rng.integers(1, 100, (B, T)), jnp.int32)
+    tt = jnp.zeros((B, T), jnp.int32)
+    tve = jnp.asarray(rng.normal(size=(B, T, 32)), jnp.float32)
+    tmask = jnp.asarray(np.arange(T)[None] < 5)
+    tmask = jnp.broadcast_to(tmask, (B, T))
+    ove = jnp.asarray(rng.normal(size=(B, O, 64)), jnp.float32)
+    omask = jnp.ones((B, O), bool)
+    params = model.init(jax.random.PRNGKey(0), ids, tt, tve, tmask, ove,
+                        omask)
+
+    n = dump_attention_maps(model, params,
+                            [(ids, tt, tve, tmask, ove, omask)],
+                            TinyTok(), str(tmp_path))
+    assert n == 2
+    probs = np.load(tmp_path / "0_attention_probs.npy")
+    L = T + O + 1
+    assert probs.shape == (2, 2, L, L)            # [layers, heads, L, L]
+    # each row is a distribution over live positions
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+    # masked (pad) text position receives ~0 attention from live queries
+    assert probs[:, :, 0, 5].max() < 1e-6
+    names = json.loads((tmp_path / "0_tokens.json").read_text())
+    assert len(names) == L and names[5] == "[PAD]" and names[-1] == "[END]"
+
+
+def test_speedometer_phases(capsys):
+    from vlbert_tpu.training.loop import Speedometer
+
+    s = Speedometer(batch_size=4, frequent=2, batches_per_epoch=4, epochs=1)
+    s.phase(0.1, 0.2)
+    s(0, 0)
+    s.phase(0.1, 0.2)
+    s(0, 1)
+    out = capsys.readouterr().out
+    assert "PROGRESS: 50%" in out
+
+
+def test_pretrain_attention_vis_method(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from vlbert_tpu.models.task_modules import (
+        ResNetVLBERTForPretrainingMultitask, build_module)
+    from vlbert_tpu.utils.config import default_config
+
+    cfg = default_config("pretrain")
+    cfg.MODULE = "ResNetVLBERTForPretrainingMultitask"
+    v = cfg.NETWORK.VLBERT
+    v.hidden_size = 32; v.visual_size = 32; v.num_hidden_layers = 2
+    v.num_attention_heads = 2; v.intermediate_size = 64; v.vocab_size = 100
+    v.max_position_embeddings = 64; v.visual_ln = True
+    v.visual_scale_text_init = 1.0; v.visual_scale_object_init = 1.0
+    v.with_pooler = True
+    v.visual_region_classes = 7
+    cfg.NETWORK.IMAGE_FINAL_DIM = 32
+    cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = True
+    m = build_module(cfg, "pretrain", dtype=jnp.float32,
+                     mask_visual_feat_dim=16)
+
+    B, O, T, F = 1, 3, 8, 16
+    boxes = np.concatenate(
+        [np.abs(rng.normal(size=(B, O, 4))).astype(np.float32) * 20 + 1,
+         rng.normal(size=(B, O, F)).astype(np.float32)], -1)
+    boxes[..., 2:4] += boxes[..., 0:2]
+    text = np.zeros((B, T), np.int32); text[:, :5] = rng.integers(1, 100, (B, 5))
+    im_info = jnp.asarray([[64, 64, 1, 1]], jnp.float32)
+    mlm = np.full((B, T), -1, np.int32)
+    mvrc_ops = np.zeros((B, O), np.int32)
+    mvrc_labels = np.zeros((B, O, 7), np.float32)
+    args = (None, jnp.asarray(boxes), im_info, jnp.asarray(text),
+            jnp.asarray([1], jnp.int32), jnp.asarray(mlm),
+            jnp.asarray(mvrc_ops), jnp.asarray(mvrc_labels))
+    variables = m.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, *args, train=False)
+    probs = m.apply(variables, None, jnp.asarray(boxes), im_info,
+                    jnp.asarray(text),
+                    method=ResNetVLBERTForPretrainingMultitask.attention_vis)
+    L = T + O + 1
+    assert probs.shape == (B, 2, 2, L, L)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-4)

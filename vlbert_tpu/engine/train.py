@@ -124,8 +124,20 @@ def train_net(args, config, task):
 
         validation_fn = make_validation_fn(model, config, task, mesh)
 
+    writer = None
+    if getattr(args, "log_dir", None) and rank == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(log_dir=args.log_dir)
+        except ImportError:
+            logger.warning("tensorboard writer unavailable")
+
     state = fit(model, config, task, train_loader, steps_per_epoch,
                 val_loader=val_loader, mesh=mesh, state=state, tx=tx,
                 checkpoint_fn=checkpoint_fn, validation_fn=validation_fn,
-                begin_epoch=begin_epoch)
+                begin_epoch=begin_epoch, writer=writer,
+                profile_dir=getattr(args, "profile_dir", None))
+    if writer is not None:
+        writer.close()
     return state

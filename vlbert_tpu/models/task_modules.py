@@ -584,6 +584,31 @@ class ResNetVLBERTForPretrainingMultitask(nn.Module):
             return outputs
         return outputs, loss
 
+    def attention_vis(self, image, boxes, im_info, text):
+        """Forward-only pass returning per-layer attention probabilities
+        (ref: pretrain/modules/resnet_vlbert_for_attention_vis.py:14-60,
+        driven by pretrain/function/vis.py:110-142)."""
+        cfg, vl = self.config, self.vl_config
+        net = cfg.NETWORK
+        B, O = boxes.shape[0], boxes.shape[1]
+        box_mask = boxes[:, :, 0] > -1.5
+
+        obj_reps = self.image_feature_extractor(
+            image, boxes, box_mask, im_info, deterministic=True)
+        text_tags = jnp.zeros_like(text)
+        text_visual = collect_obj_reps(text_tags, obj_reps["obj_reps"])
+        obj_ling = self.object_linguistic_embeddings(
+            jnp.zeros((B, O), jnp.int32))
+        obj_vl = jnp.concatenate(
+            [obj_reps["obj_reps"], obj_ling.astype(obj_reps["obj_reps"].dtype)], -1)
+        text_mask = text > 0
+        text_types = jnp.zeros_like(text)
+
+        _seq, _pooled, probs = self.vlbert.vlbert(
+            text, text_types, text_visual, text_mask, obj_vl, box_mask,
+            deterministic=True, output_attention_probs=True)
+        return jnp.stack(probs, axis=1)       # [B, layers, heads, L, L]
+
 
 # MODULE-name registry (reference selects by eval(config.MODULE),
 # ref vcr/function/train.py:64 — replaced by an explicit registry)

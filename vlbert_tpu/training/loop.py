@@ -128,7 +128,9 @@ def make_eval_step(model, task, config):
 
 
 class Speedometer:
-    """samples/s + ETA logger (ref: speedometer.py:33-102)."""
+    """samples/s + ETA + phase-timing logger (ref: speedometer.py:33-102,
+    phases Data/Step replace the reference's Data/Tran/F/B/O/M — under jit
+    the fwd/bwd/optim phases fuse into one device step)."""
 
     def __init__(self, batch_size, frequent, batches_per_epoch, epochs):
         self.batch_size = batch_size
@@ -138,6 +140,12 @@ class Speedometer:
         self.tic = time.time()
         self.count = 0
         self.global_count = 0
+        self.data_time = 0.0
+        self.step_time = 0.0
+
+    def phase(self, data_dt, step_dt):
+        self.data_time += data_dt
+        self.step_time += step_dt
 
     def __call__(self, epoch, batch_idx, metrics_fmt=""):
         self.count += 1
@@ -148,15 +156,22 @@ class Speedometer:
             remaining = self.total_batches - self.global_count
             eta_h = remaining * dt / self.frequent / 3600
             logger.info(
-                "Epoch[%d] Batch [%d]  Speed: %.2f samples/sec  ETA: %.2f h  %s",
-                epoch, batch_idx, speed, eta_h, metrics_fmt)
+                "Epoch[%d] Batch [%d]  Speed: %.2f samples/sec  ETA: %.2f h  "
+                "Data: %.3fs Step: %.3fs  %s",
+                epoch, batch_idx, speed, eta_h,
+                self.data_time / self.frequent, self.step_time / self.frequent,
+                metrics_fmt)
+            # PROGRESS stdout line (ref trainer.py:77)
+            print(f"PROGRESS: {100.0 * self.global_count / self.total_batches:.0f}%",
+                  flush=True)
             self.tic = time.time()
+            self.data_time = self.step_time = 0.0
 
 
 def fit(model, config, task, train_loader, steps_per_epoch, *,
         val_loader=None, mesh=None, state=None, tx=None,
         checkpoint_fn=None, validation_fn=None, rng=None,
-        begin_epoch=None, end_epoch=None):
+        begin_epoch=None, end_epoch=None, writer=None, profile_dir=None):
     """Host training loop (ref common/trainer.py:56-195).
 
     train_loader: iterable of batches (tuples of np arrays, already shaped
@@ -185,17 +200,38 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
     acc = metrics_lib.HostAccumulator()
     best_val = float("-inf")
 
+    global_step = int(state.step)
+    profiling = False
     with mesh:
         for epoch in range(begin_epoch, end_epoch):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
             acc.reset()
+            t_data = time.time()
             for i, batch in enumerate(train_loader):
+                data_dt = time.time() - t_data
+                if profile_dir and global_step == 10 and not profiling:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
                 batch = shard_batch(batch, mesh)
                 rng, sub = jax.random.split(rng)
+                t_step = time.time()
                 state, loss, dm = jit_step(state, batch, sub)
-                acc.update(jax.device_get(dm))
+                host_dm = jax.device_get(dm)        # also syncs the step
+                step_dt = time.time() - t_step
+                acc.update(host_dm)
+                speedo.phase(data_dt, step_dt)
                 speedo(epoch, i, acc.format())
+                global_step += 1
+                if profiling and global_step >= 20:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                if writer is not None and i % max(
+                        config.LOG_FREQUENT, 1) == 0:
+                    writer.add_scalar("train/loss", float(loss), global_step)
+                    for k, v in acc.get().items():
+                        writer.add_scalar(f"train/{k}", v, global_step)
+                t_data = time.time()
             logger.info("Epoch[%d] train: %s", epoch, acc.format())
 
             if validation_fn is not None and val_loader is not None \
