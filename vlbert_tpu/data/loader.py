@@ -148,3 +148,38 @@ class MultiTaskLoader:
                     aux = next(iters[i])
                 out.extend(aux)
             yield tuple(out)
+
+
+class GroupedBatchSampler:
+    """Batches within aspect-ratio groups, preserving sampler order.
+
+    ref: pretrain/data/samplers/grouped_batch_sampler.py:9-113 (from
+    maskrcnn-benchmark), wired to TRAIN.ASPECT_GROUPING. Groups here are any
+    integer labels (the reference uses horizontal/vertical = 0/1).
+    """
+
+    def __init__(self, indices, group_ids, batch_size, drop_uneven=False):
+        self.indices = np.asarray(indices)
+        self.group_ids = np.asarray(group_ids)
+        self.batch_size = batch_size
+        self.drop_uneven = drop_uneven
+
+    def __iter__(self):
+        order = {int(idx): pos for pos, idx in enumerate(self.indices)}
+        clusters = {}
+        for idx in self.indices:
+            g = int(self.group_ids[int(idx)])
+            clusters.setdefault(g, []).append(int(idx))
+        batches = []
+        for g, idxs in clusters.items():
+            for i in range(0, len(idxs), self.batch_size):
+                chunk = idxs[i:i + self.batch_size]
+                if self.drop_uneven and len(chunk) < self.batch_size:
+                    continue
+                batches.append(chunk)
+        # preserve sampler order: sort batches by first element's position
+        batches.sort(key=lambda b: order[b[0]])
+        return iter(batches)
+
+    def __len__(self):
+        return sum(1 for _ in iter(self))

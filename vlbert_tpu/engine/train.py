@@ -107,10 +107,8 @@ def train_net(args, config, task):
         logger.info("partial pretrain: loaded %d tensors", len(loaded))
 
     model_prefix = os.path.join(output_path, config.MODEL_PREFIX or "vlbert_tpu")
-    begin_epoch = config.TRAIN.BEGIN_EPOCH
-    if config.TRAIN.AUTO_RESUME:
-        state, begin_epoch, extra = ckpt_lib.auto_resume(
-            model_prefix, state, config.TRAIN.END_EPOCH)
+    state, begin_epoch, extra = ckpt_lib.smart_resume(
+        model_prefix, state, config)
 
     def checkpoint_fn(st, epoch, best_val):
         if rank == 0:

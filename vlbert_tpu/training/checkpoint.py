@@ -132,3 +132,19 @@ def partial_load(params, pretrain_flat, prefix_changes=()):
         return root
 
     return unflatten(new_flat), loaded
+
+
+def smart_resume(prefix, state, config):
+    """Explicit + auto resume (ref: common/utils/load.py:20-54):
+    TRAIN.RESUME loads {prefix}-{BEGIN_EPOCH-1:04d}.model; otherwise
+    AUTO_RESUME scans downward. Returns (state, begin_epoch, extra)."""
+    t = config.TRAIN
+    if t.RESUME:
+        epoch = t.BEGIN_EPOCH - 1
+        path = f"{prefix}-{epoch:04d}.model"
+        state, extra = load_checkpoint(path, state)
+        logger.info("resumed from %s", path)
+        return state, t.BEGIN_EPOCH, extra
+    if t.AUTO_RESUME:
+        return auto_resume(prefix, state, t.END_EPOCH)
+    return state, t.BEGIN_EPOCH, {}
