@@ -55,7 +55,7 @@ class VCRDataset:
                  add_image_as_a_box=True, mask_size=(14, 14),
                  basic_align=False, qa2r_noq=False, seq_len=64,
                  categories=None, **kwargs):
-        assert task in ("Q2A", "QA2R"), "Q2AR is driven as two datasets"
+        assert task in ("Q2A", "QA2R", "Q2AR")
         self.ann_file = ann_file if os.path.isabs(ann_file) \
             else os.path.join(data_path, ann_file)
         self.data_path = data_path
@@ -228,16 +228,21 @@ class VCRDataset:
         boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h - 1)
 
         # choice assembly (ref :388-426): Q2A query=question,
-        # QA2R query=question(+unless noq)+chosen answer, choices=rationales
+        # QA2R query=question(+unless noq)+chosen answer, choices=rationales,
+        # Q2AR emits both (ref data_names :448-483)
         if self.task == "Q2A":
             query = question
             choices = answers
             label = idb.get("answer_label") if not self.test_mode else None
-        else:
+        elif self.task == "QA2R":
             a_lab = answers[idb["answer_label"]] if not self.test_mode else None
             query = ([] if self.qa2r_noq else question) + (a_lab or [])
             choices = rationales
             label = idb.get("rationale_label") if not self.test_mode else None
+        else:  # Q2AR
+            query = question
+            choices = answers
+            label = idb.get("answer_label") if not self.test_mode else None
 
         out = {
             "image": image,
@@ -251,6 +256,12 @@ class VCRDataset:
         }
         if label is not None:
             out["label"] = np.int32(label)
+        if self.task == "Q2AR":
+            a_lab = answers[idb["answer_label"]] if not self.test_mode else []
+            out["rationale_query"] = question + a_lab
+            out["rationale_choices"] = rationales
+            if not self.test_mode:
+                out["rationale_label"] = np.int32(idb["rationale_label"])
         return out
 
 

@@ -202,11 +202,14 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
 
     global_step = int(state.step)
     profiling = False
+    log_freq = max(config.LOG_FREQUENT, 1)
     with mesh:
         for epoch in range(begin_epoch, end_epoch):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
             acc.reset()
+            pending = []          # device metric trees; fetched at log points
+            last_loss = None
             t_data = time.time()
             for i, batch in enumerate(train_loader):
                 data_dt = time.time() - t_data
@@ -217,21 +220,30 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                 rng, sub = jax.random.split(rng)
                 t_step = time.time()
                 state, loss, dm = jit_step(state, batch, sub)
-                host_dm = jax.device_get(dm)        # also syncs the step
+                pending.append(dm)
+                last_loss = loss
+                # NO per-step device sync: steps pipeline back-to-back; the
+                # fetch below (every LOG_FREQUENT) is the only host barrier
                 step_dt = time.time() - t_step
-                acc.update(host_dm)
                 speedo.phase(data_dt, step_dt)
-                speedo(epoch, i, acc.format())
                 global_step += 1
+                if (i + 1) % log_freq == 0 or profiling:
+                    for d in jax.device_get(pending):
+                        acc.update(d)
+                    pending.clear()
+                    if writer is not None:
+                        writer.add_scalar("train/loss", float(last_loss),
+                                          global_step)
+                        for k, v in acc.get().items():
+                            writer.add_scalar(f"train/{k}", v, global_step)
+                speedo(epoch, i, acc.format())
                 if profiling and global_step >= 20:
                     jax.profiler.stop_trace()
                     profiling = False
-                if writer is not None and i % max(
-                        config.LOG_FREQUENT, 1) == 0:
-                    writer.add_scalar("train/loss", float(loss), global_step)
-                    for k, v in acc.get().items():
-                        writer.add_scalar(f"train/{k}", v, global_step)
                 t_data = time.time()
+            for d in jax.device_get(pending):
+                acc.update(d)
+            pending.clear()
             logger.info("Epoch[%d] train: %s", epoch, acc.format())
 
             if validation_fn is not None and val_loader is not None \
