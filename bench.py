@@ -24,6 +24,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_REFERENCE_IMG_PER_S = 120.0
 
 
+def train_bench():
+    """--train: full e2e train-step throughput (fwd+bwd+AdamW)."""
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _flagship, _vcr_batch
+    from vlbert_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from vlbert_tpu.training.loop import create_train_state, make_train_step
+
+    cfg, model = _flagship(tiny=False)
+    cfg.TRAIN.OPTIMIZER = "AdamW"
+    B = 4
+    batch = _vcr_batch(B=B, img=608, O=36, C=4, T=48)
+    mesh = make_mesh()
+    state, tx, _ = create_train_state(model, batch, cfg, steps_per_epoch=100)
+    step = make_train_step(model, tx, "vcr", cfg, grad_accum=1)
+    rep = replicated(mesh)
+    jit_step = jax.jit(step, donate_argnums=(0,),
+                       out_shardings=(rep, rep, rep))
+    with mesh:
+        state = jax.device_put(state, rep)
+        sb = shard_batch(batch, mesh)
+        imgs = [jax.device_put(sb[0] + 0.01 * i) for i in range(10)]
+        jax.block_until_ready(imgs)
+        s, l, _ = jit_step(state, (imgs[0],) + sb[1:], jax.random.PRNGKey(0))
+        jax.block_until_ready(l)
+        t0 = time.time()
+        losses = []
+        for i in range(1, 9):
+            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
+            losses.append(l)
+        jax.block_until_ready(losses)
+        dt = (time.time() - t0) / 8
+    print(json.dumps({
+        "metric": "train images/sec/chip (ResNet-101 e2e VCR fwd+bwd+AdamW, 608px)",
+        "value": round(B / dt, 2),
+        "unit": "img/s",
+        "vs_baseline": round(B / dt / 10.0, 3),  # reference ~10 img/s/GPU est.
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -63,4 +104,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        train_bench()
+    else:
+        main()

@@ -63,6 +63,8 @@ def train_net(args, config, task):
 
     mesh = make_mesh(config.TPU.MESH_SHAPE, config.TPU.MESH_AXES)
     logger.info("mesh: %s over %d devices", mesh, jax.device_count())
+    if config.TPU.get("RNG_IMPL"):
+        jax.config.update("jax_default_prng_impl", config.TPU.RNG_IMPL)
 
     tokenizer = BertTokenizer.from_pretrained(config.NETWORK.BERT_MODEL_NAME)
     dtype = jnp.bfloat16 if config.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32

@@ -188,6 +188,11 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
     bsh = batch_sharding(mesh)
     jit_step = jax.jit(train_step, donate_argnums=(0,),
                        out_shardings=(rep, rep, rep))
+    # commit the state's sharding BEFORE the first step: otherwise step 1's
+    # (uncommitted) input signature differs from step 2's (committed output
+    # of step 1) and jit RECOMPILES the whole train step on step 2 — minutes
+    # of wall-clock in this environment
+    state = jax.device_put(state, rep)
 
     begin_epoch = config.TRAIN.BEGIN_EPOCH if begin_epoch is None else begin_epoch
     end_epoch = config.TRAIN.END_EPOCH if end_epoch is None else end_epoch
