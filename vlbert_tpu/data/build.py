@@ -49,8 +49,11 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
     if isinstance(batch_images, (list, tuple)):
         batch_images = batch_images[0]
     # BATCH_IMAGES is per-device (reference: per-GPU, ref build.py:49-55);
-    # one host process feeds all its local devices
+    # one host process feeds all its local devices, and accumulation steps
+    # arrive in the same host batch ([accum*micro] flat, reshaped by fit())
     batch_images = batch_images * jax.local_device_count()
+    if mode == "train":
+        batch_images *= max(int(cfg.TRAIN.GRAD_ACCUMULATE_STEPS), 1)
     num_replicas = num_replicas if num_replicas is not None else jax.process_count()
     rank = rank if rank is not None else jax.process_index()
 
@@ -118,7 +121,11 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
                       shuffle=shuffle and mode == "train",
                       num_replicas=num_replicas, rank=rank,
                       seed=max(cfg.RNG_SEED, 0),
-                      drop_last=(mode == "train"))
+                      drop_last=(mode == "train"),
+                      prefetch=cfg.TPU.get("PREFETCH_DEPTH", 2),
+                      num_threads=max(
+                          cfg.NUM_WORKERS_PER_GPU * jax.local_device_count(),
+                          1))
 
 
 def make_multitask_dataloader(cfg, task, mode="train", tokenizer=None):

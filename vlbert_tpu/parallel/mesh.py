@@ -31,18 +31,24 @@ def make_mesh(mesh_shape=None, axis_names=("data",), devices=None):
     return Mesh(arr, axis_names)
 
 
-def batch_sharding(mesh):
-    """Shard the leading (batch) axis over 'data', replicate the rest."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh, batch_dim=0):
+    """Shard the batch axis over 'data', replicate the rest."""
+    spec = [None] * batch_dim + ["data"]
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh):
-    """Device-put a host batch (pytree of np arrays) with batch-dim sharding."""
-    sh = batch_sharding(mesh)
+def shard_batch(batch, mesh, batch_dim=0):
+    """Device-put a host batch (pytree of np arrays) with batch-dim sharding.
+
+    batch_dim=1 for gradient-accumulation layouts [accum, micro, ...] —
+    the accumulation axis is scanned per device, the micro axis is the
+    data-parallel one.
+    """
+    sh = batch_sharding(mesh, batch_dim)
 
     def put(x):
         if x is None:

@@ -183,6 +183,23 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
     rng = rng if rng is not None else jax.random.PRNGKey(
         max(config.RNG_SEED, 0))
 
+    def to_micro(batch):
+        """Loader batches are flat [accum*micro, ...]; the scan inside the
+        step wants [accum, micro, ...] (ref trainer.py:117-118 semantics)."""
+        if grad_accum == 1:
+            return batch
+
+        def split(x):
+            if x is None:
+                return None
+            assert x.shape[0] % grad_accum == 0, (
+                f"batch dim {x.shape[0]} not divisible by "
+                f"GRAD_ACCUMULATE_STEPS={grad_accum}")
+            return x.reshape(grad_accum, x.shape[0] // grad_accum,
+                             *x.shape[1:])
+
+        return jax.tree_util.tree_map(split, batch)
+
     train_step = make_train_step(model, tx, task, config, grad_accum)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
@@ -221,7 +238,8 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                 if profile_dir and global_step == 10 and not profiling:
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
-                batch = shard_batch(batch, mesh)
+                batch = shard_batch(to_micro(batch), mesh,
+                                    batch_dim=0 if grad_accum == 1 else 1)
                 rng, sub = jax.random.split(rng)
                 t_step = time.time()
                 state, loss, dm = jit_step(state, batch, sub)
