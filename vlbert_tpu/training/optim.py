@@ -217,7 +217,14 @@ def make_optimizer(config, params, steps_per_epoch):
     """
     t = config.TRAIN
     sched, base_lr = make_lr_schedule(config, steps_per_epoch)
-    mults = lr_mult_tree(params, list(t.LR_MULT))
+    lr_rules = list(t.LR_MULT)
+    # visual-scale special param groups (ref vcr/function/config.py:127-128)
+    for key, name in (("VISUAL_SCALE_TEXT_LR_MULT", "visual_scale_text"),
+                      ("VISUAL_SCALE_OBJECT_LR_MULT", "visual_scale_object")):
+        mult = t.get(key, 1.0)
+        if mult != 1.0:
+            lr_rules.insert(0, (name, mult))
+    mults = lr_mult_tree(params, lr_rules)
     mask = trainable_mask(params, config)
 
     chain = []
