@@ -243,3 +243,39 @@ def test_train_net_multitask_pretrain(tmp_path):
         build_mod.make_pretrain_collate = orig
         tm.build_module = orig_build
         etrain.build_module = etrain_build
+
+
+def test_test_net_vqa_leaderboard(tmp_path, monkeypatch):
+    """Inference driver writes the VQA leaderboard json from a native
+    checkpoint (ref vqa/function/test.py:74-81)."""
+    import jax
+    import vlbert_tpu.data.build as build_mod
+
+    data_dir, vocab_dir = _write_vqa_fixture(tmp_path, n=8)
+    cfg = _tiny_vqa_cfg(tmp_path, data_dir, vocab_dir)
+    cfg.TRAIN.END_EPOCH = 1
+
+    orig = build_mod.make_vqa_collate
+
+    def patched(tokenizer, max_text, max_boxes, precomputed_dim=2048,
+                test_mode=False):
+        return orig(tokenizer, max_text, max_boxes, precomputed_dim=32,
+                    test_mode=test_mode)
+
+    monkeypatch.setattr(build_mod, "make_vqa_collate", patched)
+
+    from vlbert_tpu.engine.test import test_net_vqa
+    from vlbert_tpu.engine.train import train_net
+
+    args = types.SimpleNamespace(model_dir=str(tmp_path / "out"), log_dir=None)
+    train_net(args, cfg, "vqa")
+    ckpt = os.path.join(cfg.OUTPUT_PATH, "vqa_train", "tiny-best.model")
+    assert os.path.exists(ckpt)
+
+    with open(cfg.DATASET.ANSWER_VOCAB_FILE) as f:
+        vocab = [l.strip() for l in f if l.strip()]
+    out = str(tmp_path / "answers.json")
+    answers = test_net_vqa(cfg, ckpt, vocab, out, mode="test")
+    assert os.path.exists(out)
+    assert len(answers) == 4   # test split = val.jsonl fixture (4 rows)
+    assert all("question_id" in a and a["answer"] in vocab for a in answers)
