@@ -122,10 +122,24 @@ class WordpieceTokenizer:
         self.vocab = vocab
         self.unk_token = unk_token
         self.max_input_chars_per_word = max_input_chars_per_word
+        self._cache = {}  # word -> subtokens memo (word vocab is small)
 
     def tokenize(self, text):
         out = []
         for token in text.strip().split():
+            hit = self._cache.get(token)
+            if hit is not None:
+                out.extend(hit)
+                continue
+            sub = self._tokenize_word(token)
+            if len(self._cache) < 200000:
+                self._cache[token] = sub
+            out.extend(sub)
+        return out
+
+    def _tokenize_word(self, token):
+        out = []
+        for token in (token,):
             chars = list(token)
             if len(chars) > self.max_input_chars_per_word:
                 out.append(self.unk_token)

@@ -7,9 +7,25 @@ multi-host jax.distributed instead of NCCL process groups.
 from __future__ import annotations
 
 import argparse
+import os
+
+
+def _apply_env_device_overrides():
+    """VLBERT_TPU_NUM_CPU_DEVICES=N forces an N-device virtual CPU platform
+    (XLA_FLAGS is ineffective where sitecustomize imports jax at startup)."""
+    n = os.environ.get("VLBERT_TPU_NUM_CPU_DEVICES")
+    if n:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", int(n))
+        except RuntimeError:
+            pass
 
 
 def parse_args(task, description):
+    _apply_env_device_overrides()
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--cfg", type=str, required=True,
                         help="path to experiment yaml")

@@ -65,6 +65,11 @@ def train_net(args, config, task):
     logger.info("mesh: %s over %d devices", mesh, jax.device_count())
     if config.TPU.get("RNG_IMPL"):
         jax.config.update("jax_default_prng_impl", config.TPU.RNG_IMPL)
+    if config.TPU.get("COMPILE_CACHE_DIR"):
+        cache_dir = os.path.expanduser(config.TPU.COMPILE_CACHE_DIR)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     tokenizer = BertTokenizer.from_pretrained(config.NETWORK.BERT_MODEL_NAME)
     dtype = jnp.bfloat16 if config.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32

@@ -269,6 +269,8 @@ def _common_config():
     # 'rbg' halves dropout cost vs threefry on TPU (dropout RNG measured ~2x
     # encoder fwd time); 'threefry2x32' for cross-platform reproducibility
     tp.RNG_IMPL = "rbg"
+    # persistent XLA compile cache (big train-step graphs compile in minutes)
+    tp.COMPILE_CACHE_DIR = "~/.cache/vlbert_tpu_xla"
     # Pallas fused attention kernel. MEASURED SLOWER than XLA's own fusion at
     # VL-BERT's short sequence lengths (372 vs 433 img/s on v5e for the
     # base fwd bench: lane padding to 128 dominates at L~85-150), so off by
