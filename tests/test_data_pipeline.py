@@ -291,3 +291,53 @@ def test_vcr_dataset_end_to_end(tmp_path, tok):
                             rngs={"dropout": jax.random.PRNGKey(2)})
     assert outputs["label_logits"].shape == (1, 4)
     assert np.isfinite(float(loss))
+
+
+def test_vcr_dataset_qa2r_and_q2ar(tmp_path, tok):
+    """QA2R: query = question + gold answer, choices = rationales;
+    Q2AR additionally carries rationale fields (ref vcr.py:388-426)."""
+    import json as _json
+
+    from PIL import Image
+
+    from vlbert_tpu.data.datasets.vcr import VCRDataset
+
+    d = tmp_path / "vcr2"
+    os.makedirs(d / "img", exist_ok=True)
+    Image.fromarray((np.random.default_rng(1).uniform(
+        size=(60, 80, 3)) * 255).astype(np.uint8)).save(d / "img" / "0.jpg")
+    metadata = {"boxes": [[5, 5, 40, 40, 0.9]],
+                "segms": [[[[5, 5], [40, 5], [40, 40], [5, 40]]]],
+                "width": 80, "height": 60}
+    with open(d / "metadata0.json", "w") as f:
+        _json.dump(metadata, f)
+    row = {
+        "img_fn": "img/0.jpg", "metadata_fn": "metadata0.json",
+        "objects": ["person"],
+        "question": ["what", "is", [0], "doing", "?"],
+        "answer_choices": [[[0], "is", "wearing", "a", "hat"],
+                           ["the", "dog", "ran"]],
+        "answer_label": 0,
+        "rationale_choices": [["because", "it", "is", "cold"],
+                              ["the", "dog", "ran"]],
+        "rationale_label": 1,
+    }
+    with open(d / "train.jsonl", "w") as f:
+        f.write(_json.dumps(row) + "\n")
+
+    qa2r = VCRDataset(str(d / "train.jsonl"), "train", str(tmp_path), str(d),
+                      tokenizer=tok, task="QA2R", add_image_as_a_box=True,
+                      mask_size=(7, 7), seq_len=32)[0]
+    # query must contain the gold answer's tokens after the question
+    q_ids = [t[0] for t in qa2r["query"]]
+    hat_id = tok.convert_tokens_to_ids(["hat"])[0]
+    assert hat_id in q_ids
+    assert int(qa2r["label"]) == 1
+    assert len(qa2r["choices"]) == 2
+
+    q2ar = VCRDataset(str(d / "train.jsonl"), "train", str(tmp_path), str(d),
+                      tokenizer=tok, task="Q2AR", add_image_as_a_box=True,
+                      mask_size=(7, 7), seq_len=32)[0]
+    assert int(q2ar["label"]) == 0                  # answer label
+    assert int(q2ar["rationale_label"]) == 1
+    assert len(q2ar["rationale_choices"]) == 2

@@ -136,3 +136,30 @@ def test_roi_align_differentiable(rng):
     g = jax.grad(loss)(jnp.asarray(features))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_pallas_impl_matches_xla(rng):
+    features, boxes, mask = _random_case(rng, B=2, O=5, H=12, W=10, C=128)
+    a = np.asarray(roi_align(jnp.asarray(features), jnp.asarray(boxes),
+                             jnp.asarray(mask), pooled_h=7, pooled_w=7,
+                             impl="xla"))
+    b = np.asarray(roi_align(jnp.asarray(features), jnp.asarray(boxes),
+                             jnp.asarray(mask), pooled_h=7, pooled_w=7,
+                             impl="pallas"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_impl_differentiable(rng):
+    import jax
+
+    features, boxes, mask = _random_case(rng, B=1, O=2, H=8, W=8, C=128)
+
+    def loss(f, impl):
+        out = roi_align(f, jnp.asarray(boxes), jnp.asarray(mask),
+                        pooled_h=4, pooled_w=4, impl=impl)
+        return jnp.sum(out ** 2)
+
+    g_x = jax.grad(lambda f: loss(f, "xla"))(jnp.asarray(features))
+    g_p = jax.grad(lambda f: loss(f, "pallas"))(jnp.asarray(features))
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_p),
+                               rtol=1e-4, atol=1e-5)

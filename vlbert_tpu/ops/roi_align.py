@@ -113,11 +113,96 @@ def roi_align_weights(boxes, fm_h, fm_w, pooled_h, pooled_w,
     return ry, cx
 
 
+def _roi_align_pallas_fwd(features, ry, cx):
+    """Pallas kernel: per-(image, roi) separable contraction, feature map
+    resident in VMEM.
+
+    features [B, H, W, C] (any float; fp32 compute), ry [B, O, P, H],
+    cx [B, O, Q, W] -> [B, O, P, Q, C] fp32.
+
+    Grid is (B, O): each step DMAs one image's stride-16 feature map
+    (~3-6 MB) into VMEM once per O-row and runs P+1 small MXU matmuls —
+    no [B,O,P,W,C] HBM intermediate like the XLA einsum path.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = features.shape
+    O, P = ry.shape[1], ry.shape[2]
+    Q = cx.shape[2]
+
+    def kernel(f_ref, ry_ref, cx_ref, o_ref):
+        f = f_ref[0].astype(jnp.float32)              # [H, W, C]
+        w_row = ry_ref[0, 0]                          # [P, H]
+        w_col = cx_ref[0, 0]                          # [Q, W]
+        # rows: [P, H] x [H, W*C] -> [P, W, C]
+        tmp = jax.lax.dot_general(
+            w_row, f.reshape(H, W * C), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(P, W, C)
+        # cols: per output row p, [Q, W] x [W, C]
+        for p in range(P):
+            o_ref[0, 0, p] = jax.lax.dot_general(
+                w_col, tmp[p], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    return pl.pallas_call(
+        kernel,
+        grid=(B, O),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b, o: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P, H), lambda b, o: (b, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q, W), lambda b, o: (b, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, P, Q, C),
+                               lambda b, o: (b, o, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, O, P, Q, C), jnp.float32),
+        interpret=interpret,
+    )(features, ry, cx)
+
+
+@jax.custom_vjp
+def _roi_align_separable(features, ry, cx):
+    return _roi_align_pallas_fwd(features, ry, cx)
+
+
+def _sep_fwd(features, ry, cx):
+    return _roi_align_pallas_fwd(features, ry, cx), (features, ry, cx)
+
+
+def _sep_bwd(res, g):
+    features, ry, cx = res
+    g = g.astype(jnp.float32)
+    f32 = features.astype(jnp.float32)
+    # d f[b,h,w,c] = sum_{o,p,q} ry[boph] cx[boqw] g[bopqc]
+    gy = jnp.einsum("boqw,bopqc->bopwc", cx, g,
+                    preferred_element_type=jnp.float32)
+    df = jnp.einsum("boph,bopwc->bhwc", ry, gy,
+                    preferred_element_type=jnp.float32)
+    tmp = jnp.einsum("boph,bhwc->bopwc", ry, f32,
+                     preferred_element_type=jnp.float32)
+    dcx = jnp.einsum("bopqc,bopwc->boqw", g, tmp,
+                     preferred_element_type=jnp.float32)
+    fc = jnp.einsum("boqw,bhwc->boqhc", cx, f32,
+                    preferred_element_type=jnp.float32)
+    dry = jnp.einsum("bopqc,boqhc->boph", g, fc,
+                     preferred_element_type=jnp.float32)
+    return df.astype(features.dtype), dry, dcx
+
+
+_roi_align_separable.defvjp(_sep_fwd, _sep_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("pooled_h", "pooled_w", "spatial_scale",
-                              "sampling_ratio", "chunk"))
+                              "sampling_ratio", "chunk", "impl"))
 def roi_align(features, boxes, box_mask, *, pooled_h=14, pooled_w=14,
-              spatial_scale=1.0 / 16, sampling_ratio=0, chunk=None):
+              spatial_scale=1.0 / 16, sampling_ratio=0, chunk=None,
+              impl="xla"):
     """Batched ROIAlign.
 
     Args:
@@ -138,6 +223,9 @@ def roi_align(features, boxes, box_mask, *, pooled_h=14, pooled_w=14,
     mask = box_mask.astype(jnp.float32)[..., None, None]
     ry = ry * mask                                          # zero padded rois
     cx = cx * mask
+
+    if impl == "pallas":
+        return _roi_align_separable(features, ry, cx)
 
     def apply_chunk(ry_c, cx_c):
         # rows: [B, o, P, H] x [B, H, W, C] -> [B, o, P, W, C]

@@ -57,6 +57,27 @@ def refcoco_cls_accuracy(outputs):
             jnp.sum(valid.astype(jnp.float32)))
 
 
+def refcoco_cls_pos_accuracy(outputs):
+    """ref: refcoco_metrics.py ClsPosAccuracy — accuracy over POSITIVE
+    regions only."""
+    logits = outputs["label_logits"]
+    label = outputs["label"]
+    pos = label > 0.5
+    correct = (logits > 0) & pos
+    return (jnp.sum(correct.astype(jnp.float32)),
+            jnp.sum(pos.astype(jnp.float32)))
+
+
+def refcoco_cls_pos_fraction(outputs):
+    """ref: refcoco_metrics.py ClsPosFraction — fraction of valid regions
+    that are positive."""
+    label = outputs["label"]
+    valid = label >= 0
+    pos = label > 0.5
+    return (jnp.sum(pos.astype(jnp.float32)),
+            jnp.sum(valid.astype(jnp.float32)))
+
+
 def relationship_accuracy(outputs):
     """ref: pretrain_metrics.py:20-31."""
     logits = outputs["relationship_logits"]
@@ -98,7 +119,9 @@ def loss_logger(outputs, key):
 TASK_METRICS = {
     "vcr": {"Acc": vcr_accuracy},
     "vqa": {"SoftAcc": vqa_soft_accuracy},
-    "refcoco": {"RefAcc": refcoco_accuracy, "ClsAcc": refcoco_cls_accuracy},
+    "refcoco": {"RefAcc": refcoco_accuracy, "ClsAcc": refcoco_cls_accuracy,
+                "ClsPosAcc": refcoco_cls_pos_accuracy,
+                "ClsPosFrac": refcoco_cls_pos_fraction},
     "pretrain": {
         "MLMAcc": mlm_accuracy,
         "MVRCAcc": mvrc_accuracy,
