@@ -216,7 +216,7 @@ def roi_align(features, boxes, box_mask, *, pooled_h=14, pooled_w=14,
     """
     B, H, W, C = features.shape
     O = boxes.shape[1]
-    f32 = features.astype(jnp.float32)
+    f32 = features.astype(jnp.float32)   # fp32 compute (ref roi_align.py:69)
 
     ry, cx = roi_align_weights(boxes, H, W, pooled_h, pooled_w,
                                spatial_scale, sampling_ratio)

@@ -254,6 +254,13 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                     for d in jax.device_get(pending):
                         acc.update(d)
                     pending.clear()
+                    # NaN guard (no reference counterpart; failure detection
+                    # per SURVEY §5): halt instead of training on garbage
+                    lv = float(jax.device_get(last_loss))
+                    if not np.isfinite(lv):
+                        raise FloatingPointError(
+                            f"non-finite loss {lv} at epoch {epoch} "
+                            f"batch {i} (global step {global_step})")
                     if writer is not None:
                         writer.add_scalar("train/loss", float(last_loss),
                                           global_step)
