@@ -1,0 +1,70 @@
+"""Transform tests: resize math, flip, BGRx255 normalization, FixPadding."""
+
+import numpy as np
+
+from vlbert_tpu.data.transforms import (Compose, FixPadding, Normalize,
+                                        RandomHorizontalFlip, Resize,
+                                        resize_size)
+
+
+def test_resize_size_shortest_edge_with_cap():
+    # ref transforms.py:34-54
+    assert resize_size(800, 600, 600, 1000) == (800, 600)
+    # scale shortest edge to 600: 1200x600 -> cap at 1000: size=500
+    assert resize_size(1200, 600, 600, 1000) == (1000, 500)
+    # 300x600 scaled to shortest-edge 600 would be 600x1200 > cap 1000,
+    # so size shrinks to 1000*300/600 = 500 (ref :38-42)
+    assert resize_size(300, 600, 600, 1000) == (500, 1000)
+    # already at min size
+    assert resize_size(600, 800, 600, 1000) == (600, 800)
+
+
+def test_resize_updates_boxes_and_im_info(rng):
+    img = rng.uniform(size=(60, 80, 3)).astype(np.float32)
+    boxes = np.asarray([[8.0, 6.0, 40.0, 30.0]], np.float32)
+    s = {"image": img, "boxes": boxes.copy(), "masks": None,
+         "im_info": np.asarray([80, 60, 1, 1], np.float32), "flipped": False}
+    s = Resize(120, 200)(s)
+    assert s["image"].shape[:2] == (120, 160)
+    np.testing.assert_allclose(s["im_info"][:2], [160, 120])
+    np.testing.assert_allclose(s["im_info"][2:4], [2.0, 2.0])
+    np.testing.assert_allclose(s["boxes"][0], [16, 12, 80, 60])
+
+
+def test_hflip_boxes_and_masks(rng):
+    img = rng.uniform(size=(10, 20, 3)).astype(np.float32)
+    boxes = np.asarray([[2.0, 1.0, 5.0, 4.0]], np.float32)
+    masks = np.zeros((1, 4, 4), np.float32)
+    masks[0, :, 0] = 1
+    s = {"image": img, "boxes": boxes.copy(), "masks": masks.copy(),
+         "im_info": np.asarray([20, 10, 1, 1], np.float32), "flipped": False}
+    flip = RandomHorizontalFlip(prob=1.0, rng=np.random.default_rng(0))
+    s = flip(s)
+    assert s["flipped"]
+    # x' = w - 1 - x (ref :77), swapped
+    np.testing.assert_allclose(s["boxes"][0], [20 - 1 - 5, 1, 20 - 1 - 2, 4])
+    assert s["masks"][0, 0, -1] == 1 and s["masks"][0, 0, 0] == 0
+    np.testing.assert_allclose(s["image"], img[:, ::-1])
+
+
+def test_normalize_bgr255():
+    img = np.zeros((2, 2, 3), np.float32)
+    img[..., 0] = 1.0   # R=1
+    s = {"image": img, "boxes": None, "masks": None,
+         "im_info": np.zeros(4, np.float32), "flipped": False}
+    mean = (102.9801, 115.9465, 122.7717)
+    s = Normalize(mean, (1, 1, 1))(s)
+    # channel 0 becomes B (=0*255) - mean[0]; channel 2 becomes R*255 - mean[2]
+    np.testing.assert_allclose(s["image"][0, 0, 0], -102.9801, rtol=1e-5)
+    np.testing.assert_allclose(s["image"][0, 0, 2], 255 - 122.7717, rtol=1e-5)
+
+
+def test_fix_padding_orientation():
+    for (h, w), want in (((60, 100), (80, 120)), ((100, 60), (120, 80))):
+        img = np.ones((h, w, 3), np.float32)
+        s = {"image": img, "boxes": None, "masks": None,
+             "im_info": np.zeros(4, np.float32), "flipped": False}
+        s = FixPadding(80, 120)(s)
+        assert s["image"].shape[:2] == want
+        assert s["image"][:h, :w].min() == 1.0
+        assert s["image"][h:, :].sum() == 0
