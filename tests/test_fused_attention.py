@@ -60,3 +60,34 @@ def test_encoder_fused_flag_matches(rng):
     out_f = np.asarray(enc_f.apply(params, x, bias))
     live = mask.astype(bool)
     np.testing.assert_allclose(out_f[live], out_x[live], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_qkv_matches_separate(rng):
+    """fused_qkv encoder == separate-projection encoder after fuse_qkv_params."""
+    from vlbert_tpu.models.bert import BertEncoder
+    from vlbert_tpu.training.checkpoint import flatten_params, partial_load
+    from vlbert_tpu.training.convert import fuse_qkv_params
+
+    HID, HEADS, L, B = 32, 4, 11, 2
+    kw = dict(num_layers=2, num_heads=HEADS, hidden_size=HID,
+              intermediate_size=64, hidden_act="gelu",
+              attention_dropout=0.0, hidden_dropout=0.0,
+              initializer_range=0.02)
+    enc_sep = BertEncoder(**kw)
+    enc_fused = BertEncoder(fused_qkv=True, **kw)
+
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+    bias = jnp.zeros((B, 1, 1, L), jnp.float32)
+    p_sep = enc_sep.init(jax.random.PRNGKey(0), x, bias)
+    p_fused = enc_fused.init(jax.random.PRNGKey(1), x, bias)
+
+    flat = flatten_params(jax.device_get(p_sep["params"]))
+    fused_flat = fuse_qkv_params(flat)
+    new_params, loaded = partial_load(jax.device_get(p_fused["params"]),
+                                      fused_flat)
+    n_all = len(flatten_params(jax.device_get(p_fused["params"])))
+    assert len(loaded) == n_all
+
+    out_sep = np.asarray(enc_sep.apply(p_sep, x, bias))
+    out_fused = np.asarray(enc_fused.apply({"params": new_params}, x, bias))
+    np.testing.assert_allclose(out_fused, out_sep, rtol=1e-5, atol=1e-6)

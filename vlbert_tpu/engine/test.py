@@ -28,9 +28,12 @@ logger = logging.getLogger(__name__)
 def _load_params(config, state_params, ckpt_path):
     if ckpt_path.endswith((".model", ".bin", ".pt", ".pth")) \
             and not _is_native(ckpt_path):
-        from vlbert_tpu.training.convert import load_torch_or_native_checkpoint
+        from vlbert_tpu.training.convert import (fuse_qkv_params,
+                                                 load_torch_or_native_checkpoint)
 
         flat = load_torch_or_native_checkpoint(ckpt_path)
+        if config.TPU.get("FUSED_QKV", False):
+            flat = fuse_qkv_params(flat)
         new_params, loaded = ckpt_lib.partial_load(
             jax.device_get(state_params["params"]), flat)
         logger.info("loaded %d tensors from %s", len(loaded), ckpt_path)

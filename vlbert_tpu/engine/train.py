@@ -101,9 +101,12 @@ def train_net(args, config, task):
 
     # partial-pretrain warm start (ref :199-232)
     if config.NETWORK.PARTIAL_PRETRAIN:
-        from vlbert_tpu.training.convert import load_torch_or_native_checkpoint
+        from vlbert_tpu.training.convert import (fuse_qkv_params,
+                                                 load_torch_or_native_checkpoint)
 
         flat = load_torch_or_native_checkpoint(config.NETWORK.PARTIAL_PRETRAIN)
+        if config.TPU.get("FUSED_QKV", False):
+            flat = fuse_qkv_params(flat)
         prefix_changes = [pc.split("->") for pc in
                           config.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES]
         flat = nsp_to_binary_classifier_surgery(flat, config)

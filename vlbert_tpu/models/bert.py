@@ -85,14 +85,22 @@ class BertSelfAttention(nn.Module):
     initializer_range: float
     dtype: Any = jnp.float32
     fused: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, hidden, attention_bias, deterministic=True,
                  output_attention_probs=False):
         head_dim = self.hidden_size // self.num_heads
-        q = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "query")(hidden)
-        k = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "key")(hidden)
-        v = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "value")(hidden)
+        if self.fused_qkv:
+            # one [H, 3H] projection instead of three [H, H] matmuls; the
+            # converter fuses reference q/k/v kernels via fuse_qkv_params
+            qkv = bert_dense(3 * self.hidden_size, self.initializer_range,
+                             self.dtype, "qkv")(hidden)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "query")(hidden)
+            k = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "key")(hidden)
+            v = bert_dense(self.hidden_size, self.initializer_range, self.dtype, "value")(hidden)
 
         B, L, _ = hidden.shape
         q = q.reshape(B, L, self.num_heads, head_dim)
@@ -133,13 +141,15 @@ class BertAttention(nn.Module):
     initializer_range: float
     dtype: Any = jnp.float32
     fused: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
                  output_attention_probs=False):
         attn = BertSelfAttention(
             self.num_heads, self.hidden_size, self.attention_dropout,
-            self.initializer_range, self.dtype, self.fused, name="self")(
+            self.initializer_range, self.dtype, self.fused, self.fused_qkv,
+            name="self")(
                 x, attention_bias, deterministic, output_attention_probs)
         probs = None
         if output_attention_probs:
@@ -166,6 +176,7 @@ class BertLayer(nn.Module):
     initializer_range: float
     dtype: Any = jnp.float32
     fused: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
@@ -173,7 +184,7 @@ class BertLayer(nn.Module):
         attn_out = BertAttention(
             self.num_heads, self.hidden_size, self.attention_dropout,
             self.hidden_dropout, self.initializer_range, self.dtype,
-            self.fused, name="attention")(x, attention_bias, deterministic,
+            self.fused, self.fused_qkv, name="attention")(x, attention_bias, deterministic,
                               output_attention_probs)
         probs = None
         if output_attention_probs:
@@ -209,6 +220,7 @@ class BertEncoder(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     fused: bool = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
@@ -224,7 +236,7 @@ class BertEncoder(nn.Module):
                 self.num_heads, self.hidden_size, self.intermediate_size,
                 self.hidden_act, self.attention_dropout, self.hidden_dropout,
                 self.initializer_range, self.dtype, self.fused,
-                name=f"layer_{i}")
+                self.fused_qkv, name=f"layer_{i}")
             x = layer(x, attention_bias, deterministic, output_attention_probs)
             if output_attention_probs:
                 x, probs = x

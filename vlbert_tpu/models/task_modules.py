@@ -627,11 +627,15 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
     key = f"{config.MODULE}:{task}"
     if key not in MODULES:
         raise ValueError(f"unknown module {config.MODULE!r} for task {task!r}")
-    fused = bool(config.get("TPU", {}) and config.TPU.get("FUSED_ATTENTION", False)) \
-        if "TPU" in config else False
+    fused = False
+    fused_qkv = False
+    if "TPU" in config:
+        fused = bool(config.TPU.get("FUSED_ATTENTION", False))
+        fused_qkv = bool(config.TPU.get("FUSED_QKV", False))
     vl_cfg = VLBertConfig.from_attrdict(
         config.NETWORK.VLBERT, dtype=dtype, remat=remat,
-        fused_attention=kwargs.get("fused_attention", fused))
+        fused_attention=kwargs.get("fused_attention", fused),
+        fused_qkv=kwargs.get("fused_qkv", fused_qkv))
     if not isinstance(config, FrozenConfig):
         config = FrozenConfig(config)
     cls = MODULES[key]

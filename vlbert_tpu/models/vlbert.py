@@ -79,15 +79,17 @@ class VLBertConfig:
     dtype: Any = jnp.float32
     remat: bool = False
     fused_attention: bool = False
+    fused_qkv: bool = False
 
     @classmethod
     def from_attrdict(cls, d, dtype=jnp.float32, remat=False,
-                      fused_attention=False):
+                      fused_attention=False, fused_qkv=False):
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in fields}
         kwargs["dtype"] = dtype
         kwargs["remat"] = remat
         kwargs["fused_attention"] = fused_attention
+        kwargs["fused_qkv"] = fused_qkv
         return cls(**kwargs)
 
 
@@ -156,6 +158,7 @@ class VisualLinguisticBert(nn.Module):
             dtype=c.dtype,
             remat=c.remat,
             fused=c.fused_attention,
+            fused_qkv=c.fused_qkv,
             name="encoder")
         if c.with_pooler:
             self.pooler = BertPooler(

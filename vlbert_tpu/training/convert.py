@@ -298,3 +298,29 @@ def load_torch_or_native_checkpoint(path):
 
     payload = load_checkpoint(path)
     return flatten_params(payload["params"].get("params", payload["params"]))
+
+
+def fuse_qkv_params(flat):
+    """Merge separate q/k/v projection tensors into fused 'qkv' entries for
+    models built with fused_qkv=True (models/bert.py). Kernel layout: flax
+    [in, out] concatenated on the output dim in (q, k, v) order — matching
+    jnp.split(qkv, 3, axis=-1)."""
+    out = {}
+    pending = {}
+    for k, v in flat.items():
+        m = re.search(r"(.*attention\.self\.)(query|key|value)\.(kernel|bias)$", k)
+        if not m:
+            out[k] = v
+            continue
+        prefix, which, kind = m.groups()
+        pending.setdefault((prefix, kind), {})[which] = v
+    for (prefix, kind), parts in pending.items():
+        if set(parts) != {"query", "key", "value"}:
+            # incomplete triple: pass through untouched
+            for which, v in parts.items():
+                out[f"{prefix}{which}.{kind}"] = v
+            continue
+        axis = 1 if kind == "kernel" else 0
+        out[f"{prefix}qkv.{kind}"] = np.concatenate(
+            [parts["query"], parts["key"], parts["value"]], axis=axis)
+    return out

@@ -269,6 +269,10 @@ def _common_config():
     # 'rbg' halves dropout cost vs threefry on TPU (dropout RNG measured ~2x
     # encoder fwd time); 'threefry2x32' for cross-platform reproducibility
     tp.RNG_IMPL = "rbg"
+    # single [H, 3H] QKV projection: measured 23% faster encoder backward on
+    # v5e (17.7 vs 23.1 ms at [32, 85]); reference checkpoints are fused on
+    # load by training/convert.fuse_qkv_params
+    tp.FUSED_QKV = True
     # persistent XLA compile cache (big train-step graphs compile in minutes)
     tp.COMPILE_CACHE_DIR = "~/.cache/vlbert_tpu_xla"
     # Pallas fused attention kernel. MEASURED SLOWER than XLA's own fusion at
