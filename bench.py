@@ -46,17 +46,24 @@ def train_bench():
     with mesh:
         state = jax.device_put(state, rep)
         sb = shard_batch(batch, mesh)
-        imgs = [jax.device_put(sb[0] + 0.01 * i) for i in range(10)]
+        imgs = [jax.device_put(sb[0] + 0.01 * i) for i in range(16)]
         jax.block_until_ready(imgs)
         s, l, _ = jit_step(state, (imgs[0],) + sb[1:], jax.random.PRNGKey(0))
         jax.block_until_ready(l)
+        # warm a few steps so the chained-state signature is stable, then
+        # time 12 pipelined steps; losses must all differ (dedupe guard)
+        for i in range(1, 4):
+            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
+        jax.block_until_ready(l)
         t0 = time.time()
         losses = []
-        for i in range(1, 9):
+        for i in range(4, 16):
             s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
             losses.append(l)
         jax.block_until_ready(losses)
-        dt = (time.time() - t0) / 8
+        dt = (time.time() - t0) / 12
+        lv = [float(x) for x in losses]
+        assert len(set(lv)) == len(lv), f"dedupe artifact: {lv}"
     print(json.dumps({
         "metric": "train images/sec/chip (ResNet-101 e2e VCR fwd+bwd+AdamW, 608px)",
         "value": round(B / dt, 2),

@@ -26,13 +26,6 @@ class Compose:
         return sample
 
 
-class Sample(dict):
-    """image, boxes [N,4], masks [N,mh,mw] or None, im_info [4], flipped."""
-
-    __getattr__ = dict.__getitem__
-    __setattr__ = dict.__setitem__
-
-
 def resize_size(w, h, min_size, max_size):
     """Shortest-edge resize with max cap (ref :34-54)."""
     size = min_size

@@ -18,7 +18,7 @@ so checkpoint conversion (training/convert.py) is a mechanical rename.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

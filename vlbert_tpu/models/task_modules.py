@@ -23,7 +23,7 @@ inference mode, matching the reference Module contract.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
