@@ -91,3 +91,33 @@ def test_fused_qkv_matches_separate(rng):
     out_sep = np.asarray(enc_sep.apply(p_sep, x, bias))
     out_fused = np.asarray(enc_fused.apply({"params": new_params}, x, bias))
     np.testing.assert_allclose(out_fused, out_sep, rtol=1e-5, atol=1e-6)
+
+
+def test_scan_encoder_matches_unrolled(rng):
+    """scan_layers encoder with stacked params == unrolled encoder."""
+    from vlbert_tpu.models.bert import BertEncoder
+    from vlbert_tpu.training.checkpoint import flatten_params, partial_load
+    from vlbert_tpu.training.convert import stack_layer_params
+
+    HID, HEADS, L, B, NL = 32, 4, 9, 2, 3
+    kw = dict(num_layers=NL, num_heads=HEADS, hidden_size=HID,
+              intermediate_size=64, hidden_act="gelu",
+              attention_dropout=0.0, hidden_dropout=0.0,
+              initializer_range=0.02)
+    enc = BertEncoder(**kw)
+    enc_scan = BertEncoder(scan_layers=True, **kw)
+
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+    bias = jnp.zeros((B, 1, 1, L), jnp.float32)
+    p = enc.init(jax.random.PRNGKey(0), x, bias)
+    p_scan = enc_scan.init(jax.random.PRNGKey(1), x, bias)
+
+    flat = flatten_params(jax.device_get(p["params"]))
+    stacked = stack_layer_params(flat, NL)
+    new_params, loaded = partial_load(jax.device_get(p_scan["params"]),
+                                      stacked)
+    assert len(loaded) == len(flatten_params(jax.device_get(p_scan["params"])))
+
+    out = np.asarray(enc.apply(p, x, bias))
+    out_scan = np.asarray(enc_scan.apply({"params": new_params}, x, bias))
+    np.testing.assert_allclose(out_scan, out, rtol=1e-5, atol=1e-6)

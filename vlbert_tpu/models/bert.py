@@ -201,12 +201,43 @@ class BertLayer(nn.Module):
         return out
 
 
+class _BertLayerScanBody(nn.Module):
+    """(carry, out) adapter around BertLayer for nn.scan."""
+
+    num_heads: int
+    hidden_size: int
+    intermediate_size: int
+    hidden_act: str
+    attention_dropout: float
+    hidden_dropout: float
+    initializer_range: float
+    dtype: Any = jnp.float32
+    fused: bool = False
+    fused_qkv: bool = False
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, attention_bias):
+        out = BertLayer(
+            self.num_heads, self.hidden_size, self.intermediate_size,
+            self.hidden_act, self.attention_dropout, self.hidden_dropout,
+            self.initializer_range, self.dtype, self.fused, self.fused_qkv,
+            name="layer")(x, attention_bias, self.deterministic, False)
+        return out, None
+
+
 class BertEncoder(nn.Module):
     """Stack of BertLayers (ref: modeling.py:400-421).
 
     Returns the final hidden states; per-layer outputs / attention probs are
     returned only when requested (attention-vis path,
     ref: pretrain/modules/resnet_vlbert_for_attention_vis.py).
+
+    ``scan_layers`` traces ONE layer and runs it under ``nn.scan`` with
+    stacked params ``layers/... [L, ...]`` — compile time drops roughly by
+    the layer count (train-step graphs compile in minutes in some
+    environments). Converter support: training/convert.stack_layer_params.
+    The scan path supports the plain forward only (no per-layer outputs).
     """
 
     num_layers: int
@@ -221,11 +252,32 @@ class BertEncoder(nn.Module):
     remat: bool = False
     fused: bool = False
     fused_qkv: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
                  output_all_encoded_layers=False,
                  output_attention_probs=False):
+        if self.scan_layers and not (output_all_encoded_layers
+                                     or output_attention_probs):
+            body = _BertLayerScanBody
+            if self.remat:
+                body = nn.remat(_BertLayerScanBody, prevent_cse=False)
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,),
+                length=self.num_layers,
+            )
+            out, _ = scan(
+                self.num_heads, self.hidden_size, self.intermediate_size,
+                self.hidden_act, self.attention_dropout, self.hidden_dropout,
+                self.initializer_range, self.dtype, self.fused,
+                self.fused_qkv, deterministic, name="layers")(
+                    x, attention_bias)
+            return out
+
         layer_cls = BertLayer
         if self.remat and not output_attention_probs:
             layer_cls = nn.remat(BertLayer, static_argnums=(3, 4))

@@ -629,13 +629,16 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
         raise ValueError(f"unknown module {config.MODULE!r} for task {task!r}")
     fused = False
     fused_qkv = False
+    scan_layers = False
     if "TPU" in config:
         fused = bool(config.TPU.get("FUSED_ATTENTION", False))
         fused_qkv = bool(config.TPU.get("FUSED_QKV", False))
+        scan_layers = bool(config.TPU.get("SCAN_LAYERS", False))
     vl_cfg = VLBertConfig.from_attrdict(
         config.NETWORK.VLBERT, dtype=dtype, remat=remat,
         fused_attention=kwargs.get("fused_attention", fused),
-        fused_qkv=kwargs.get("fused_qkv", fused_qkv))
+        fused_qkv=kwargs.get("fused_qkv", fused_qkv),
+        scan_layers=kwargs.get("scan_layers", scan_layers))
     if not isinstance(config, FrozenConfig):
         config = FrozenConfig(config)
     cls = MODULES[key]

@@ -80,16 +80,19 @@ class VLBertConfig:
     remat: bool = False
     fused_attention: bool = False
     fused_qkv: bool = False
+    scan_layers: bool = False
 
     @classmethod
     def from_attrdict(cls, d, dtype=jnp.float32, remat=False,
-                      fused_attention=False, fused_qkv=False):
+                      fused_attention=False, fused_qkv=False,
+                      scan_layers=False):
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in fields}
         kwargs["dtype"] = dtype
         kwargs["remat"] = remat
         kwargs["fused_attention"] = fused_attention
         kwargs["fused_qkv"] = fused_qkv
+        kwargs["scan_layers"] = scan_layers
         return cls(**kwargs)
 
 
@@ -159,6 +162,7 @@ class VisualLinguisticBert(nn.Module):
             remat=c.remat,
             fused=c.fused_attention,
             fused_qkv=c.fused_qkv,
+            scan_layers=c.scan_layers,
             name="encoder")
         if c.with_pooler:
             self.pooler = BertPooler(

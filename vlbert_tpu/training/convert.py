@@ -324,3 +324,23 @@ def fuse_qkv_params(flat):
         out[f"{prefix}qkv.{kind}"] = np.concatenate(
             [parts["query"], parts["key"], parts["value"]], axis=axis)
     return out
+
+
+def stack_layer_params(flat, num_layers):
+    """Stack per-layer 'encoder.layer_{i}.' tensors into the scan layout
+    'encoder.layers.layer.' with a leading [num_layers] axis
+    (models/bert.py scan_layers=True)."""
+    out = {}
+    groups = {}
+    for k, v in flat.items():
+        m = re.search(r"^(.*?)layer_(\d+)\.(.*)$", k)
+        if not m:
+            out[k] = v
+            continue
+        prefix, idx, rest = m.groups()
+        groups.setdefault((prefix, rest), {})[int(idx)] = v
+    for (prefix, rest), items in groups.items():
+        assert len(items) == num_layers, (prefix, rest, sorted(items))
+        out[f"{prefix}layers.layer.{rest}"] = np.stack(
+            [items[i] for i in range(num_layers)])
+    return out

@@ -273,6 +273,10 @@ def _common_config():
     # v5e (17.7 vs 23.1 ms at [32, 85]); reference checkpoints are fused on
     # load by training/convert.fuse_qkv_params
     tp.FUSED_QKV = True
+    # nn.scan over encoder layers: ~num_layers x faster train-step compiles
+    # (attention-vis and per-layer outputs need the unrolled path); params
+    # stack as encoder.layers.layer.[L, ...] (convert.stack_layer_params)
+    tp.SCAN_LAYERS = False
     # persistent XLA compile cache (big train-step graphs compile in minutes)
     tp.COMPILE_CACHE_DIR = "~/.cache/vlbert_tpu_xla"
     # Pallas fused attention kernel. MEASURED SLOWER than XLA's own fusion at
