@@ -234,10 +234,12 @@ class BertEncoder(nn.Module):
     ref: pretrain/modules/resnet_vlbert_for_attention_vis.py).
 
     ``scan_layers`` traces ONE layer and runs it under ``nn.scan`` with
-    stacked params ``layers/... [L, ...]`` — compile time drops roughly by
-    the layer count (train-step graphs compile in minutes in some
-    environments). Converter support: training/convert.stack_layer_params.
-    The scan path supports the plain forward only (no per-layer outputs).
+    stacked params ``layers/... [L, ...]`` — measured 11x faster XLA
+    compilation for a 24-layer encoder grad (2.4 vs 26.2 s; python tracing
+    is somewhat slower, so the win matters where XLA compilation dominates,
+    e.g. remote-compile environments). Converter support:
+    training/convert.stack_layer_params. The scan path supports the plain
+    forward only (no per-layer outputs).
     """
 
     num_layers: int
