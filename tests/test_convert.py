@@ -212,3 +212,15 @@ def test_vlbert_task_checkpoint_names():
         mapped = map_reference_name(normalize_torch_name(src))
         assert mapped is not None, src
         assert mapped[0] == tgt, (src, mapped[0], tgt)
+
+
+def test_mlm_transform_to_classifier():
+    from vlbert_tpu.training.convert import mlm_transform_to_classifier
+
+    flat = {"mlm_head.transform.dense.kernel": np.ones((4, 4)),
+            "mlm_head.transform.LayerNorm.scale": np.ones(4),
+            "other.key": np.zeros(2)}
+    out = mlm_transform_to_classifier(flat)
+    assert "final_mlp.transform_dense.kernel" in out
+    assert "final_mlp.transform_LayerNorm.scale" in out
+    assert "other.key" in out

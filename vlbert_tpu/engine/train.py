@@ -110,6 +110,11 @@ def train_net(args, config, task):
         prefix_changes = [pc.split("->") for pc in
                           config.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES]
         flat = nsp_to_binary_classifier_surgery(flat, config)
+        if config.NETWORK.get("CLASSIFIER_PRETRAINED", False) \
+                and config.NETWORK.CLASSIFIER_TYPE == "mlm":
+            from vlbert_tpu.training.convert import mlm_transform_to_classifier
+
+            flat = mlm_transform_to_classifier(flat)
         new_params, loaded = ckpt_lib.partial_load(
             jax.device_get(state.params["params"]), flat,
             prefix_changes=[tuple(pc) for pc in prefix_changes])

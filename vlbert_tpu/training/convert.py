@@ -344,3 +344,23 @@ def stack_layer_params(flat, num_layers):
         out[f"{prefix}layers.layer.{rest}"] = np.stack(
             [items[i] for i in range(num_layers)])
     return out
+
+
+def mlm_transform_to_classifier(flat):
+    """VQA 'mlm' classifier warm start (ref vqa module init_weight :97-111):
+    map the BERT MLM prediction transform onto the classifier's transform.
+
+    Input keys as produced by convert_bert_checkpoint ('mlm_head.transform.*');
+    adds 'final_mlp.transform_dense.*' / 'final_mlp.transform_LayerNorm.*'.
+    """
+    mapping = {
+        "mlm_head.transform.dense.kernel": "final_mlp.transform_dense.kernel",
+        "mlm_head.transform.dense.bias": "final_mlp.transform_dense.bias",
+        "mlm_head.transform.LayerNorm.scale": "final_mlp.transform_LayerNorm.scale",
+        "mlm_head.transform.LayerNorm.bias": "final_mlp.transform_LayerNorm.bias",
+    }
+    out = dict(flat)
+    for src, dst in mapping.items():
+        if src in flat:
+            out[dst] = flat[src]
+    return out
