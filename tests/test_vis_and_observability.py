@@ -106,3 +106,34 @@ def test_pretrain_attention_vis_method(rng):
     L = T + O + 1
     assert probs.shape == (B, 2, 2, L, L)
     np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_validation_fn_numerics(rng):
+    """do_validation computes SoftAcc from inference outputs + batch labels."""
+    import jax.numpy as jnp
+
+    from vlbert_tpu.engine.val import make_validation_fn
+    from vlbert_tpu.parallel.mesh import make_mesh
+    from vlbert_tpu.utils.config import default_config
+
+    class FakeModel:
+        def apply(self, params, *inputs, train):
+            assert train is False
+            # logits favoring class 1 for every example
+            B = inputs[0].shape[0]
+            logits = np.zeros((B, 4), np.float32)
+            logits[:, 1] = 5.0
+            return {"label_logits": jnp.asarray(logits)}
+
+    cfg = default_config("vqa")
+    mesh = make_mesh()
+    vfn = make_validation_fn(FakeModel(), cfg, "vqa", mesh)
+
+    B = 8
+    x = np.zeros((B, 3), np.float32)
+    # soft labels: half the batch scores 1.0 on class 1, half 0.0
+    label = np.zeros((B, 4), np.float32)
+    label[: B // 2, 1] = 1.0
+    label[B // 2:, 2] = 1.0
+    val = vfn(type("S", (), {"params": None})(), [(x, label)])
+    assert abs(val["SoftAcc"] - 0.5) < 1e-6
