@@ -48,7 +48,9 @@ def create_train_state(model, sample_batch, config, steps_per_epoch, rng=None,
         config.RNG_SEED if config.RNG_SEED >= 0 else 0)
     if params is None:
         init_rngs = {"params": rng, "dropout": jax.random.PRNGKey(1)}
-        params = model.init(init_rngs, *sample_batch, train=True)
+        # jitted init: one compiled program instead of eager per-op dispatch
+        params = jax.jit(
+            lambda r: model.init(r, *sample_batch, train=True))(init_rngs)
     tx, sched, base_lr = make_optimizer(config, params["params"], steps_per_epoch)
     opt_state = tx.init(params["params"])
     state = TrainState(params=params, opt_state=opt_state,
