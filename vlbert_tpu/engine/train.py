@@ -23,7 +23,6 @@ from vlbert_tpu.models.task_modules import build_module
 from vlbert_tpu.parallel.mesh import make_mesh
 from vlbert_tpu.training import checkpoint as ckpt_lib
 from vlbert_tpu.training.loop import create_train_state, fit
-from vlbert_tpu.utils.config import FrozenConfig
 
 logger = logging.getLogger(__name__)
 

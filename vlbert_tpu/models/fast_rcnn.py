@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vlbert_tpu.models.resnet import ResNetC4Backbone, ResNetRoIHead, ResNetStage
+from vlbert_tpu.models.resnet import ResNetC4Backbone, ResNetRoIHead
 from vlbert_tpu.ops.coord_embed import coordinate_embeddings
 from vlbert_tpu.ops.roi_align import roi_align
 

@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import logging
 import time
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.struct
 import jax
