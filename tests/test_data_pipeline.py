@@ -274,6 +274,7 @@ def test_vcr_dataset_end_to_end(tmp_path, tok):
 
     cfg = default_config("vcr")
     cfg.MODULE = "ResNetVLBERT"
+    cfg.DATASET.TASK = "Q2A"
     v = cfg.NETWORK.VLBERT
     v.hidden_size = 32; v.visual_size = 32; v.num_hidden_layers = 1
     v.num_attention_heads = 2; v.intermediate_size = 64; v.vocab_size = 64
@@ -341,3 +342,321 @@ def test_vcr_dataset_qa2r_and_q2ar(tmp_path, tok):
     assert int(q2ar["label"]) == 0                  # answer label
     assert int(q2ar["rationale_label"]) == 1
     assert len(q2ar["rationale_choices"]) == 2
+
+
+def _write_vcr_fixture(tmp_path, name="vcrfix", n_answers=4, test_mode=False):
+    """Two-row VCR jsonl + metadata + image, returns the data dir."""
+    from PIL import Image
+
+    d = tmp_path / name
+    os.makedirs(d / "img", exist_ok=True)
+    Image.fromarray((np.random.default_rng(7).uniform(
+        size=(60, 80, 3)) * 255).astype(np.uint8)).save(d / "img" / "0.jpg")
+    metadata = {"boxes": [[5, 5, 40, 40, 0.9], [30, 10, 70, 50, 0.8]],
+                "segms": [[[[5, 5], [40, 5], [40, 40], [5, 40]]],
+                          [[[30, 10], [70, 10], [70, 50], [30, 50]]]],
+                "width": 80, "height": 60}
+    with open(d / "metadata0.json", "w") as f:
+        json.dump(metadata, f)
+    rows = []
+    for k in range(2):
+        row = {
+            "annot_id": f"val-{k}",
+            "img_fn": "img/0.jpg", "metadata_fn": "metadata0.json",
+            "objects": ["person", "dog"],
+            "question": ["what", "is", [0], "doing", "?"],
+            "answer_choices": [[[0], "is", "wearing", "a", "hat"],
+                               [[0], "ran", "left"],
+                               ["the", "dog", "ran"],
+                               [[1], "is", "red"]][:n_answers],
+            "rationale_choices": [["because", "it", "is", "cold"],
+                                  ["the", "dog", "ran", "left"],
+                                  [[0], "is", "red"],
+                                  ["why", "?"]][:n_answers],
+        }
+        if not test_mode:
+            row["answer_label"] = 1
+            row["rationale_label"] = 0
+        rows.append(row)
+    with open(d / "ann.jsonl", "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+    return d
+
+
+def test_vcr_qa2r_test_mode_conditioned_queries(tmp_path, tok):
+    """Test-mode QA2R emits one conditioned query per candidate answer
+    (ref vcr.py:416-424) and the collator stacks them to [B, A, C, T]."""
+    from vlbert_tpu.data.datasets.vcr import VCRDataset, make_vcr_collate
+
+    d = _write_vcr_fixture(tmp_path, test_mode=True)
+    ds = VCRDataset(str(d / "ann.jsonl"), "test", str(tmp_path), str(d),
+                    tokenizer=tok, task="QA2R", test_mode=True,
+                    add_image_as_a_box=True, mask_size=(7, 7), seq_len=32)
+    s = ds[0]
+    assert isinstance(s["query"], list) and len(s["query"]) == 4
+    # each conditioned query = question + that answer -> all distinct
+    flat = [tuple(t[0] for t in q) for q in s["query"]]
+    assert len(set(flat)) == 4
+    # question prefix is shared
+    assert all(f[:3] == flat[0][:3] for f in flat)
+
+    collate = make_vcr_collate(tok, 24, 6, mask_size=(7, 7),
+                               test_mode=True, task="QA2R")
+    batch = collate([ds[0], ds[1]])
+    (image, boxes, objects, segms, box_mask, ids, tt, tags, tmask,
+     im_info) = batch
+    assert ids.shape == (2, 4, 4, 24)       # [B, A(conditioning), C, T]
+    assert tmask.shape == (2, 4, 4, 24)
+    # conditioned inputs differ across the conditioning axis
+    assert not np.array_equal(ids[0, 0], ids[0, 1])
+
+
+def test_vcr_q2ar_collate_and_joint_forward(tmp_path, tok):
+    """Q2AR: single-model dual-head batch -> forward -> joint metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlbert_tpu.data.datasets.vcr import VCRDataset, make_vcr_collate
+    from vlbert_tpu.models.task_modules import build_module
+    from vlbert_tpu.training import metrics as metrics_lib
+    from vlbert_tpu.utils.config import default_config
+
+    d = _write_vcr_fixture(tmp_path)
+    ds = VCRDataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                    tokenizer=tok, task="Q2AR", add_image_as_a_box=True,
+                    mask_size=(7, 7), seq_len=32)
+    collate = make_vcr_collate(tok, 24, 6, mask_size=(7, 7), task="Q2AR")
+    batch = collate([ds[0], ds[1]])
+    assert len(batch) == 16
+    (image, boxes, objects, segms, box_mask, a_ids, a_tt, a_tags, a_mask,
+     r_ids, r_tt, r_tags, r_mask, im_info, label, r_label) = batch
+    assert a_ids.shape == (2, 4, 24) and r_ids.shape == (2, 4, 24)
+    assert int(label[0]) == 1 and int(r_label[0]) == 0
+
+    cfg = default_config("vcr")
+    cfg.MODULE = "ResNetVLBERT"
+    assert cfg.DATASET.TASK == "Q2AR"
+    v = cfg.NETWORK.VLBERT
+    v.hidden_size = 32; v.visual_size = 32; v.num_hidden_layers = 1
+    v.num_attention_heads = 2; v.intermediate_size = 64; v.vocab_size = 64
+    v.max_position_embeddings = 64; v.visual_ln = True
+    v.visual_scale_text_init = 1.0; v.visual_scale_object_init = 1.0
+    cfg.NETWORK.IMAGE_FINAL_DIM = 32
+    cfg.NETWORK.IMAGE_NUM_LAYERS = 18
+    cfg.NETWORK.ENABLE_CNN_REG_LOSS = False
+    cfg.NETWORK.CLASSIFIER_HIDDEN_SIZE = 32
+    m = build_module(cfg, "vcr", dtype=jnp.float32)
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, *jb, train=True)
+    outputs, loss = m.apply(params, *jb, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(2)})
+    assert outputs["label_logits"].shape == (2, 4)
+    assert outputs["rationale_logits"].shape == (2, 4)
+    assert np.isfinite(float(loss))
+    # answer and rationale heads are distinct params
+    assert "final_mlp_rationale" in params["params"]
+
+    dm = metrics_lib.device_metrics("vcr", cfg, outputs)
+    assert "JointAcc" in dm and "RationaleAcc" in dm
+    js, jn = dm["JointAcc"]
+    assert float(jn) == 2.0
+
+    # inference mode returns both logit sets without labels
+    infer_out = m.apply(params, *jb[:-2], train=False)
+    assert set(infer_out) >= {"label_logits", "rationale_logits"}
+
+
+def test_vcr_fixed_category_ids_and_db_cache(tmp_path, tok):
+    """Category ids come from the fixed COCO-81 list (stable across visit
+    order, ref vcr.py:69-78); db pickle cache round-trips (ref :120-181)."""
+    from vlbert_tpu.data.datasets.vcr import VCR_CATEGORIES, VCRDataset
+
+    assert len(VCR_CATEGORIES) == 81
+    assert VCR_CATEGORIES.index("person") == 1
+    assert VCR_CATEGORIES.index("toothbrush") == 80
+
+    d = _write_vcr_fixture(tmp_path)
+    ds = VCRDataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                    tokenizer=tok, task="Q2A", add_image_as_a_box=True,
+                    mask_size=(7, 7), seq_len=32,
+                    cache_db=True, ignore_db_cache=True)
+    s = ds[0]
+    # image box class 0, person 1, dog 17 — independent of visit order
+    assert s["objects"].tolist() == [0, 1, 17]
+
+    cache = tmp_path / "cache"
+    assert any(p.name.startswith("vcr_nometa_Q2A_train_ann")
+               for p in cache.iterdir())
+    ds2 = VCRDataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                     tokenizer=tok, task="Q2A", add_image_as_a_box=True,
+                     mask_size=(7, 7), seq_len=32,
+                     cache_db=True, ignore_db_cache=False)
+    assert len(ds2) == len(ds)
+    assert ds2[0]["objects"].tolist() == [0, 1, 17]
+
+
+def _write_refcoco_fixture(tmp_path):
+    """jsonl rows + MAttNet proposal dets + VG b64 box jsons + image."""
+    import base64
+
+    from PIL import Image
+
+    d = tmp_path / "refcoco"
+    os.makedirs(d / "img", exist_ok=True)
+    Image.fromarray((np.random.default_rng(3).uniform(
+        size=(60, 80, 3)) * 255).astype(np.uint8)).save(d / "img" / "7.jpg")
+    rows = [{
+        "image_id": 7,
+        "image_fn": "img/7.jpg", "width": 80, "height": 60,
+        "boxes": [[5, 5, 40, 40], [30, 10, 70, 50]],      # gt COCO anns
+        "gt_box": [5, 5, 40, 40],
+        "sentence": "the red dog",
+    }]
+    with open(d / "ann.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    # MAttNet detections (xywh, ref refcoco.py:85-96,143-145)
+    os.makedirs(d / "refcoco+" / "proposal", exist_ok=True)
+    dets = [{"image_id": 7, "box": [4, 4, 38, 38]},
+            {"image_id": 7, "box": [28, 8, 44, 44]},
+            {"image_id": 7, "box": [0, 0, 20, 20]}]
+    with open(d / "refcoco+" / "proposal" /
+              "res101_coco_minus_refer_notime_dets.json", "w") as f:
+        json.dump(dets, f)
+
+    # VG precomputed b64 boxes (ref :146-152)
+    vg_dir = (d / "vgbua_res101_precomputed" /
+              "trainval2014_resnet101_faster_rcnn_genome")
+    os.makedirs(vg_dir, exist_ok=True)
+    vg_boxes = np.asarray([[6, 6, 42, 42], [25, 12, 66, 48]], np.float32)
+    with open(vg_dir / "7.json", "w") as f:
+        json.dump({"num_boxes": 2,
+                   "boxes": base64.encodebytes(vg_boxes.tobytes()).decode()},
+                  f)
+    return d
+
+
+def test_refcoco_box_sources(tmp_path, tok):
+    """gt / proposal(official) / proposal+gt / vg box sources
+    (ref refcoco/data/datasets/refcoco.py:133-176)."""
+    from vlbert_tpu.data.datasets.refcoco import RefCOCODataset
+
+    d = _write_refcoco_fixture(tmp_path)
+    common = dict(tokenizer=tok, add_image_as_a_box=True)
+
+    gt = RefCOCODataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                        boxes="gt", **common)[0]
+    # image box + 2 gt anns
+    assert gt["boxes"].shape[0] == 3
+
+    prop = RefCOCODataset(str(d / "ann.jsonl"), "train", str(tmp_path),
+                          str(d), boxes="proposal", **common)[0]
+    # image box + 3 MAttNet detections
+    assert prop["boxes"].shape[0] == 4
+    # xywh -> xyxy conversion: det [4,4,38,38] -> [4,4,42,42]
+    assert prop["boxes"][1].tolist() == [4.0, 4.0, 42.0, 42.0]
+    # labels = IoU > 0.5 vs gt box per region (ref :200-203)
+    assert prop["label"].shape[0] == 4 and prop["label"][1] == 1.0
+
+    both = RefCOCODataset(str(d / "ann.jsonl"), "train", str(tmp_path),
+                          str(d), boxes="proposal+gt", **common)[0]
+    # image box + 3 dets + 2 gt anns
+    assert both["boxes"].shape[0] == 6
+
+    vg = RefCOCODataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                        boxes="proposal", proposal_source="vg", **common)[0]
+    assert vg["boxes"].shape[0] == 3
+    assert vg["boxes"][1].tolist() == [6.0, 6.0, 42.0, 42.0]
+
+
+def test_refcoco_detected_regions_end_to_end(tmp_path, tok):
+    """proposal+gt source -> collate -> RefCOCO module forward (the
+    detected_regions config path, cfgs/refcoco/*detected_regions*.yaml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlbert_tpu.data.datasets.refcoco import (RefCOCODataset,
+                                                  make_refcoco_collate)
+    from vlbert_tpu.models.task_modules import build_module
+    from vlbert_tpu.utils.config import default_config
+
+    d = _write_refcoco_fixture(tmp_path)
+    ds = RefCOCODataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                        tokenizer=tok, boxes="proposal+gt",
+                        add_image_as_a_box=True)
+    collate = make_refcoco_collate(tok, 12, 8)
+    batch = collate([ds[0]])
+    (image, boxes, box_mask, im_info, ids, tmask, label) = batch
+    assert boxes.shape == (1, 8, 4)
+    assert int(box_mask[0].sum()) == 6
+
+    cfg = default_config("refcoco")
+    cfg.MODULE = "ResNetVLBERT"
+    v = cfg.NETWORK.VLBERT
+    v.hidden_size = 32; v.visual_size = 32; v.num_hidden_layers = 1
+    v.num_attention_heads = 2; v.intermediate_size = 64; v.vocab_size = 64
+    v.max_position_embeddings = 64; v.visual_ln = True
+    v.visual_scale_text_init = 1.0; v.visual_scale_object_init = 1.0
+    cfg.NETWORK.IMAGE_FINAL_DIM = 32
+    cfg.NETWORK.IMAGE_NUM_LAYERS = 18
+    m = build_module(cfg, "refcoco", dtype=jnp.float32)
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, *jb, train=True)
+    outputs, loss = m.apply(params, *jb, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(2)})
+    assert outputs["label_logits"].shape == (1, 8)
+    assert np.isfinite(float(loss))
+
+
+def test_vqa_imdb_npy_path(tmp_path, tok):
+    """Pythia imdb .npy annotations (DATASET.USE_IMDB,
+    ref vqa/data/datasets/vqa.py:357-376) through __getitem__."""
+    import base64
+
+    from vlbert_tpu.data.datasets.vqa import VQADataset, build_vqa_imdb_db
+
+    d = tmp_path / "vqa_imdb"
+    box_dir = (d / "vgbua_res101_precomputed" /
+               "trainval_resnet101_faster_rcnn_genome_36")
+    os.makedirs(box_dir, exist_ok=True)
+    os.makedirs(d / "annotations", exist_ok=True)
+    rng = np.random.default_rng(0)
+    image_id = 42
+    nb, feat_dim = 3, 16
+    boxes = rng.uniform(0, 40, (nb, 4)).astype(np.float32)
+    boxes[:, 2:] += boxes[:, :2]
+    with open(box_dir / f"{image_id}.json", "w") as f:
+        json.dump({"num_boxes": nb,
+                   "boxes": base64.encodebytes(boxes.tobytes()).decode(),
+                   "features": base64.encodebytes(rng.normal(
+                       size=(nb, feat_dim)).astype(np.float32).tobytes()).decode()},
+                  f)
+    with open(d / "annotations" / "instances_train2014.json", "w") as f:
+        json.dump({"images": [{"id": image_id, "width": 100, "height": 80}]},
+                  f)
+    imdb = np.asarray([
+        {"dataset_name": "vqa"},                     # info header row
+        {"image_id": image_id, "question_id": 9,
+         "question_tokens": ["what", "is", "the", "cat", "doing", "?"],
+         "answers": ["red"] * 7 + ["blue"] * 3},
+    ], dtype=object)
+    np.save(d / "imdb_train2014.npy", imdb, allow_pickle=True)
+    (d / "answers.txt").write_text("<unk>\nred\nblue\n")
+
+    db = build_vqa_imdb_db(str(d / "imdb_train2014.npy"), "train2014", str(d))
+    assert len(db) == 1
+    assert db[0]["width"] == 100 and db[0]["question_id"] == 9
+    assert db[0]["box_fn"].endswith(f"{image_id}.json")
+
+    ds = VQADataset(str(d / "imdb_train2014.npy"), "train2014", str(tmp_path),
+                    str(d), tokenizer=tok,
+                    answer_vocab_file=str(d / "answers.txt"),
+                    with_precomputed_visual_feat=True, use_imdb=True)
+    s = ds[0]
+    assert s["boxes"].shape == (nb + 1, 4 + feat_dim)   # +whole-image box
+    assert s["label"].argmax() == 1                     # 'red' consensus
+    assert len(s["q_ids"]) > 0

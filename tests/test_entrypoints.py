@@ -245,6 +245,90 @@ def test_train_net_multitask_pretrain(tmp_path):
         etrain.build_module = etrain_build
 
 
+def test_test_net_vcr_qa2r_conditioned_csv(tmp_path):
+    """QA2R leaderboard test: 4 answer-conditioned passes -> 16-column csv
+    ``rationale_conditioned_on_a{i}_{j}`` (ref vcr/function/test.py:101-135),
+    with conditioned probabilities differing across answers."""
+    import csv as _csv
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_data_pipeline import (VOCAB as TOK_VOCAB,
+                                          _write_vcr_fixture)
+    from vlbert_tpu.data.tokenization import BertTokenizer
+    from vlbert_tpu.engine.test import test_net_vcr
+    from vlbert_tpu.training import checkpoint as ckpt_lib
+
+    data_dir = _write_vcr_fixture(tmp_path, name="vcrtest", test_mode=True)
+    vocab_dir = tmp_path / "bert"
+    os.makedirs(vocab_dir, exist_ok=True)
+    (vocab_dir / "vocab.txt").write_text("\n".join(TOK_VOCAB) + "\n")
+
+    cfg = default_config("vcr")
+    cfg.MODULE = "ResNetVLBERT"
+    cfg.DATASET.DATASET = "vcr"
+    cfg.DATASET.TASK = "QA2R"
+    cfg.DATASET.DATASET_PATH = str(data_dir)
+    cfg.DATASET.ROOT_PATH = str(tmp_path)
+    cfg.DATASET.TEST_ANNOTATION_FILE = "ann.jsonl"
+    cfg.DATASET.TEST_IMAGE_SET = "test"
+    cfg.DATASET.MASK_SIZE = 7
+    cfg.NETWORK.BERT_MODEL_NAME = str(vocab_dir)
+    v = cfg.NETWORK.VLBERT
+    v.hidden_size = 32; v.visual_size = 32; v.num_hidden_layers = 1
+    v.num_attention_heads = 2; v.intermediate_size = 64
+    v.vocab_size = len(BertTokenizer(str(vocab_dir / "vocab.txt")).vocab)
+    v.max_position_embeddings = 64; v.visual_ln = True
+    v.visual_scale_text_init = 1.0; v.visual_scale_object_init = 1.0
+    cfg.NETWORK.IMAGE_FINAL_DIM = 32
+    cfg.NETWORK.IMAGE_NUM_LAYERS = 18
+    cfg.NETWORK.ENABLE_CNN_REG_LOSS = False
+    cfg.NETWORK.CLASSIFIER_HIDDEN_SIZE = 32
+    cfg.SCALES = [32, 48]
+    cfg.TEST.BATCH_IMAGES = 1
+    cfg.TPU.MAX_TEXT_LEN = 24
+    cfg.TPU.MAX_BOXES = 6
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    # native checkpoint from a fresh init (the driver chain under test is
+    # load -> 4 conditioned passes -> csv, not training)
+    from vlbert_tpu.data.build import make_dataloader
+    from vlbert_tpu.engine.test import _slice_conditioned
+    from vlbert_tpu.models.task_modules import build_module
+
+    model = build_module(cfg, "vcr", dtype=jnp.float32)
+    loader = make_dataloader(cfg, "vcr", "test",
+                             BertTokenizer(str(vocab_dir / "vocab.txt")))
+    sample = next(iter(loader))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           *_slice_conditioned(sample, 0), train=False)
+    state = types.SimpleNamespace(params=variables, opt_state={},
+                                  step=jnp.zeros((), jnp.int32))
+    ckpt = ckpt_lib.save_checkpoint(str(tmp_path / "tiny"), 0, state)
+
+    out_csv = str(tmp_path / "qa2r_result.csv")
+    rows = test_net_vcr(cfg, ckpt, out_csv, mode="test")
+    assert len(rows) == 2
+
+    with open(out_csv) as f:
+        r = list(_csv.reader(f))
+    header, data = r[0], r[1:]
+    assert header == ["annot_id"] + [
+        f"rationale_conditioned_on_a{i}_{j}"
+        for i in range(4) for j in range(4)]
+    assert [d[0] for d in data] == ["val-0", "val-1"]
+    probs = np.asarray([[float(x) for x in d[1:]] for d in data])
+    # each conditioned block is a softmax over 4 rationales
+    blocks = probs.reshape(2, 4, 4)
+    assert np.allclose(blocks.sum(-1), 1.0, atol=1e-5)
+    # conditioning on different answers must change the distribution
+    assert not np.allclose(blocks[0, 0], blocks[0, 1])
+    # raw npy saved alongside (ref :118-121)
+    assert os.path.exists(str(tmp_path / "qa2r_result.npy"))
+
+
 def test_test_net_vqa_leaderboard(tmp_path, monkeypatch):
     """Inference driver writes the VQA leaderboard json from a native
     checkpoint (ref vqa/function/test.py:74-81)."""

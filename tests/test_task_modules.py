@@ -26,6 +26,7 @@ def small_vlbert(cfg, visual_size=None):
 def test_vcr_module_train_and_inference(rng):
     cfg = default_config("vcr")
     cfg.MODULE = "ResNetVLBERT"
+    cfg.DATASET.TASK = "Q2A"
     small_vlbert(cfg)
     cfg.NETWORK.IMAGE_NUM_LAYERS = 18
     cfg.NETWORK.IMAGE_SEMANTIC = True

@@ -93,17 +93,20 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
         ds = ds_cls(task=d.TASK,
                     only_use_relevant_dets=d.ONLY_USE_RELEVANT_DETS,
                     mask_size=(d.MASK_SIZE, d.MASK_SIZE),
-                    basic_align=d.BASIC_ALIGN, qa2r_noq=d.QA2R_NOQ, **common)
+                    basic_align=d.BASIC_ALIGN, qa2r_noq=d.QA2R_NOQ,
+                    cache_db=(rank == 0),  # ref build.py: only rank 0 writes
+                    ignore_db_cache=d.get("IGNORE_DB_CACHE", True), **common)
         collate = make_vcr_collate(
             tokenizer, max_text, max_boxes,
             mask_size=(d.MASK_SIZE, d.MASK_SIZE),
             answer_first=cfg.NETWORK.get("ANSWER_FIRST", False),
             one_sent=cfg.NETWORK.get("QA_ONE_SENT", False),
-            test_mode=test_mode)
+            test_mode=test_mode, task=d.TASK)
     elif name == "vqa":
         ds = ds_cls(answer_vocab_file=d.ANSWER_VOCAB_FILE,
                     with_precomputed_visual_feat=cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED,
-                    **common)
+                    boxes=d.get("BOXES", "36"),
+                    use_imdb=d.get("USE_IMDB", True), **common)
         collate = make_vqa_collate(
             tokenizer, max_text, max_boxes,
             precomputed_dim=2048 if cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED else 0,
@@ -111,7 +114,9 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
     elif name in ("refcoco", "refcoco+"):
         boxes_field = {"train": "TRAIN_BOXES", "val": "VAL_BOXES",
                        "test": "TEST_BOXES"}[mode]
-        ds = ds_cls(boxes=d.get(boxes_field, "gt"), **common)
+        ds = ds_cls(boxes=d.get(boxes_field, "gt"),
+                    proposal_source=d.get("PROPOSAL_SOURCE", "official"),
+                    **common)
         collate = make_refcoco_collate(tokenizer, max_text, max_boxes,
                                        test_mode=test_mode)
     else:

@@ -65,6 +65,7 @@ def load_refer_db(refs_file, instances_file, splits):
         boxes = [xywh_to_xyxy(a["bbox"]) for a in img_anns[ref["image_id"]]]
         for sent in ref["sentences"]:
             db.append({
+                "image_id": ref["image_id"],
                 "image_fn": img["file_name"],
                 "width": img["width"],
                 "height": img["height"],
@@ -75,12 +76,23 @@ def load_refer_db(refs_file, instances_file, splits):
     return db
 
 
+# MAttNet detection + VG precomputed-box locations (ref refcoco.py:66-68)
+PROPOSAL_DETS = "refcoco+/proposal/res101_coco_minus_refer_notime_dets.json"
+VG_PROPOSAL = ("vgbua_res101_precomputed",
+               "trainval2014_resnet101_faster_rcnn_genome")
+
+
 class RefCOCODataset:
     def __init__(self, ann_file, image_set, root_path, data_path, *,
                  tokenizer, transform=None, test_mode=False,
-                 boxes="gt", add_image_as_a_box=True, seed=0, **kwargs):
+                 boxes="gt", proposal_source="official",
+                 add_image_as_a_box=True, seed=0, **kwargs):
+        assert boxes in ("gt", "proposal", "proposal+gt", "gt+proposal"), \
+            f"unsupported box source {boxes!r} (ref refcoco.py:133-176)"
         self.data_path = data_path
         self.test_mode = test_mode
+        self.boxes = boxes
+        self.proposal_source = proposal_source
         self.add_image_as_a_box = add_image_as_a_box
         self.transform = transform
         self.tokenizer = tokenizer
@@ -97,8 +109,55 @@ class RefCOCODataset:
             with open(path) as f:
                 self.database = json.load(f)
 
+        # MAttNet detections, loaded once per process (ref :85-96); boxes
+        # stored xywh -> converted at lookup
+        self.proposals = None
+        if "proposal" in boxes and proposal_source == "official":
+            with open(os.path.join(data_path, PROPOSAL_DETS)) as f:
+                proposal_list = json.load(f)
+            self.proposals = {}
+            for p in proposal_list:
+                self.proposals.setdefault(p["image_id"], []).append(p["box"])
+
     def __len__(self):
         return len(self.database)
+
+    def _candidate_boxes(self, idb):
+        """Candidate regions by source (ref :133-176): gt COCO anns,
+        MAttNet detections ('official'), or VG precomputed b64 boxes ('vg');
+        'proposal+gt' concatenates detections then gt anns."""
+        parts = []
+        if "proposal" in self.boxes:
+            if self.proposal_source == "official":
+                dets = np.asarray(self.proposals.get(idb["image_id"], []),
+                                  np.float32).reshape(-1, 4)
+                dets[:, 2:] += dets[:, :2]                     # xywh -> xyxy
+                parts.append(dets)
+            elif self.proposal_source == "vg":
+                box_fn = os.path.join(
+                    self.data_path, VG_PROPOSAL[0], VG_PROPOSAL[1],
+                    f"{idb['image_id']}.json")
+                data = self._load_json(box_fn)
+                import base64
+
+                dets = np.frombuffer(
+                    base64.decodebytes(data["boxes"].encode()),
+                    np.float32).reshape((data["num_boxes"], -1))[:, :4]
+                parts.append(np.array(dets))
+            else:
+                raise ValueError(
+                    f"unknown proposal source {self.proposal_source!r}")
+        if "gt" in self.boxes:
+            parts.append(np.asarray(idb["boxes"], np.float32).reshape(-1, 4))
+        return np.concatenate(parts, 0) if len(parts) > 1 else parts[0]
+
+    def _load_json(self, path):
+        from vlbert_tpu.data.zipreader import ZipReader
+
+        if ".zip@" in path:
+            return json.loads(ZipReader.read(path).decode())
+        with open(path) as f:
+            return json.load(f)
 
     def __getitem__(self, index):
         idb = self.database[index]
@@ -107,7 +166,7 @@ class RefCOCODataset:
         image = read_image(img_fn)
         h0, w0 = image.shape[:2]
 
-        boxes = np.asarray(idb["boxes"], np.float32)
+        boxes = self._candidate_boxes(idb)
         if self.add_image_as_a_box:
             boxes = np.concatenate(
                 [np.asarray([[0, 0, w0 - 1, h0 - 1]], np.float32), boxes], 0)

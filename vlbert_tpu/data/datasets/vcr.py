@@ -39,8 +39,25 @@ GENDER_NEUTRAL_NAMES = ["Casey", "Riley", "Jessie", "Jackie", "Avery",
                         "Jaime", "Peyton", "Kerry", "Jody", "Kendall",
                         "Frankie", "Pat", "Quinn"]
 
-# ref :88-104 (categories list used for boxes[:, 5] class ids)
-VCR_CATEGORIES = None  # filled lazily from metadata object names
+# Fixed COCO-81 category list (ref vcr/data/datasets/vcr.py:69-77) used for
+# boxes[:, 5] class ids; VCR's object_word_embed_mode=1 feeds these into a
+# learned class embedding, so the ids must be stable across visit orders and
+# match converted reference checkpoints.
+VCR_CATEGORIES = [
+    "__background__", "person", "bicycle", "car", "motorcycle", "airplane",
+    "bus", "train", "truck", "boat", "trafficlight", "firehydrant",
+    "stopsign", "parkingmeter", "bench", "bird", "cat", "dog", "horse",
+    "sheep", "cow", "elephant", "bear", "zebra", "giraffe", "backpack",
+    "umbrella", "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sportsball", "kite", "baseballbat", "baseballglove", "skateboard",
+    "surfboard", "tennisracket", "bottle", "wineglass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hotdog", "pizza", "donut", "cake", "chair",
+    "couch", "pottedplant", "bed", "diningtable", "toilet", "tv", "laptop",
+    "mouse", "remote", "keyboard", "cellphone", "microwave", "oven",
+    "toaster", "sink", "refrigerator", "book", "clock", "vase", "scissors",
+    "teddybear", "hairdrier", "toothbrush",
+]
 
 
 def load_jsonl(path):
@@ -54,14 +71,19 @@ class VCRDataset:
                  zip_mode=False, only_use_relevant_dets=False,
                  add_image_as_a_box=True, mask_size=(14, 14),
                  basic_align=False, qa2r_noq=False, seq_len=64,
-                 categories=None, **kwargs):
+                 categories=None, cache_db=True, ignore_db_cache=True,
+                 **kwargs):
         assert task in ("Q2A", "QA2R", "Q2AR")
         self.ann_file = ann_file if os.path.isabs(ann_file) \
             else os.path.join(data_path, ann_file)
         self.data_path = data_path
+        self.root_path = root_path
+        self.image_set = image_set
         self.task = task
         self.test_mode = test_mode
         self.zip_mode = zip_mode
+        self.cache_db = cache_db
+        self.ignore_db_cache = ignore_db_cache
         self.only_use_relevant_dets = only_use_relevant_dets
         self.add_image_as_a_box = add_image_as_a_box
         self.mask_size = tuple(mask_size) if not isinstance(mask_size, int) \
@@ -72,19 +94,46 @@ class VCRDataset:
         self.tokenizer = tokenizer
         self.transform = transform
         self.person_name_id = 0
-        self.database = load_jsonl(self.ann_file)
-        # category -> id map: reference uses a fixed 81-category COCO-ish
-        # list; build from provided list or lazily from object names
-        self._categories = categories
-        self._cat_to_idx = ({c: i for i, c in enumerate(categories)}
-                            if categories else {})
+        self.database = self.load_annotations(self.ann_file)
+        # fixed 81-category COCO list (ref :69-78); the lookup is strict so
+        # an unknown object name fails loudly rather than drifting ids
+        cats = categories if categories is not None else VCR_CATEGORIES
+        self._cat_to_idx = {c: i for i, c in enumerate(cats)}
+
+    def load_annotations(self, ann_file):
+        """jsonl parse with an optional pickle cache (ref :120-181:
+        vcr_nometa_{task}_{image_set}_{split} under root_path/cache)."""
+        import pickle
+
+        base = os.path.basename(ann_file)
+        if base.endswith(".jsonl"):
+            base = base[: -len(".jsonl")]
+        name = f"vcr_nometa_{self.task}_{self.image_set}_{base}"
+        if self.only_use_relevant_dets:
+            name += "_only_relevant_dets"
+        if self.zip_mode:
+            name += "_zipped"
+        cache_root = os.path.join(self.root_path or ".", "cache")
+        cache_path = os.path.join(cache_root, f"{name}.pkl")
+
+        if os.path.exists(cache_path) and not self.ignore_db_cache:
+            with open(cache_path, "rb") as f:
+                return pickle.load(f)
+
+        database = load_jsonl(ann_file)
+        if self.cache_db:
+            try:
+                os.makedirs(cache_root, exist_ok=True)
+                with open(cache_path, "wb") as f:
+                    pickle.dump(database, f)
+            except OSError:
+                pass  # read-only data dir: run uncached
+        return database
 
     def __len__(self):
         return len(self.database)
 
     def _cat_idx(self, name):
-        if name not in self._cat_to_idx:
-            self._cat_to_idx[name] = len(self._cat_to_idx) % 81
         return self._cat_to_idx[name]
 
     def _load_json(self, path):
@@ -176,7 +225,9 @@ class VCRDataset:
                 r, objects_replace_name, non_obj_tag)
                 for r in idb["rationale_choices"]]
 
-        # truncation (ref :321-343)
+        # truncation (ref :321-343). Note the reference truncates QA2R only
+        # in train/val mode (test-mode conditioned queries are clipped by the
+        # static max_text buffer downstream, mirroring the 512-position cap).
         if self.task == "Q2A":
             for a in answers:
                 while len(question) + len(a) > self.seq_len:
@@ -184,8 +235,8 @@ class VCRDataset:
                         a.pop()
                     else:
                         question.pop()
-        else:
-            a_lab = answers[idb["answer_label"]] if not self.test_mode else answers[0]
+        elif not self.test_mode:
+            a_lab = answers[idb["answer_label"]]
             for r in rationales:
                 while len(question) + len(a_lab) + len(r) > self.seq_len:
                     if len(r) > (len(question) + len(a_lab)):
@@ -235,8 +286,15 @@ class VCRDataset:
             choices = answers
             label = idb.get("answer_label") if not self.test_mode else None
         elif self.task == "QA2R":
-            a_lab = answers[idb["answer_label"]] if not self.test_mode else None
-            query = ([] if self.qa2r_noq else question) + (a_lab or [])
+            if self.test_mode:
+                # test-time answer conditioning (ref :416-424): one query per
+                # candidate answer; the test driver runs 4 conditioned passes
+                # and emits 4x4 = 16 probabilities per question
+                query = [([] if self.qa2r_noq else question) + a
+                         for a in answers]
+            else:
+                a_lab = answers[idb["answer_label"]]
+                query = ([] if self.qa2r_noq else question) + a_lab
             choices = rationales
             label = idb.get("rationale_label") if not self.test_mode else None
         else:  # Q2AR
@@ -266,48 +324,88 @@ class VCRDataset:
 
 
 def make_vcr_collate(tokenizer, max_text, max_boxes, mask_size=(14, 14),
-                     answer_first=False, one_sent=False, test_mode=False):
-    """Collate to the ResNetVLBERTForVCR batch tuple with static shapes."""
+                     answer_first=False, one_sent=False, test_mode=False,
+                     task="Q2A"):
+    """Collate to the ResNetVLBERTForVCR batch tuple with static shapes.
+
+    Layouts by task/mode (text tensors are int32/bool, static [.., T]):
+      * Q2A, or QA2R train/val:  text [B, C, T]
+      * QA2R test (answer-conditioned, ref vcr.py:416-424 + test.py:101-115):
+        text [B, A, C, T] — axis 1 indexes the conditioning answer; the test
+        driver slices per a_id
+      * Q2AR train/val: answer text [B, C, T] + rationale text [B, C, T]
+        (rationale query = question + gt answer, ref data_names :448-470)
+    """
     cls_id, sep_id = tokenizer.cls_id, tokenizer.sep_id
     mh, mw = mask_size
+    conditioned = test_mode and task == "QA2R"
+
+    def assemble_choice_text(query, choices):
+        """One [C, T] text block from (query, choices) token/tag lists."""
+        q_ids = [t[0] for t in query]
+        q_tags = [t[1] for t in query]
+        ids_c, types_c, tags_c, mask_c = [], [], [], []
+        for ch in choices:
+            a_ids = [t[0] for t in ch]
+            a_tags = [t[1] for t in ch]
+            ids, types, tags, tmask, _ = assemble_qa_text(
+                q_ids, q_tags, a_ids, a_tags, max_text, cls_id, sep_id,
+                answer_first=answer_first, one_sent=one_sent)
+            ids_c.append(ids)
+            types_c.append(types)
+            tags_c.append(tags)
+            mask_c.append(tmask)
+        return (np.stack(ids_c), np.stack(types_c), np.stack(tags_c),
+                np.stack(mask_c))
 
     def collate(samples):
-        C = len(samples[0]["choices"])
         rows = []
         for s in samples:
-            q_ids = [t[0] for t in s["query"]]
-            q_tags = [t[1] for t in s["query"]]
-            ids_c, types_c, tags_c, mask_c = [], [], [], []
-            for ch in s["choices"]:
-                a_ids = [t[0] for t in ch]
-                a_tags = [t[1] for t in ch]
-                ids, types, tags, tmask, _ = assemble_qa_text(
-                    q_ids, q_tags, a_ids, a_tags, max_text, cls_id, sep_id,
-                    answer_first=answer_first, one_sent=one_sent)
-                ids_c.append(ids)
-                types_c.append(types)
-                tags_c.append(tags)
-                mask_c.append(tmask)
+            if conditioned:
+                # s["query"] is a list of A conditioned queries
+                per_a = [assemble_choice_text(q, s["choices"])
+                         for q in s["query"]]
+                ids, types, tags, tmask = (np.stack([p[k] for p in per_a])
+                                           for k in range(4))
+            else:
+                ids, types, tags, tmask = assemble_choice_text(
+                    s["query"], s["choices"])
             O = max_boxes
-            rows.append({
+            row = {
                 "image": s["image"],
                 "boxes": pad_to(s["boxes"], (O, 4), -2.0, np.float32),
                 "objects": pad_to(s["objects"], (O,), 0, np.int32),
                 "segms": pad_to(s["masks"], (O, mh, mw), 0.0, np.float32),
                 "box_mask": pad_to(np.ones(len(s["boxes"]), bool), (O,), False),
-                "text_input_ids": np.stack(ids_c),
-                "text_token_type_ids": np.stack(types_c),
-                "text_tags": np.stack(tags_c),
-                "text_mask": np.stack(mask_c),
+                "text_input_ids": ids,
+                "text_token_type_ids": types,
+                "text_tags": tags,
+                "text_mask": tmask,
                 "im_info": s["im_info"],
                 "label": s.get("label", np.int32(0)),
-            })
+            }
+            if task == "Q2AR" and not test_mode:
+                r_ids, r_types, r_tags, r_mask = assemble_choice_text(
+                    s["rationale_query"], s["rationale_choices"])
+                row.update(rationale_input_ids=r_ids,
+                           rationale_token_type_ids=r_types,
+                           rationale_tags=r_tags, rationale_mask=r_mask,
+                           rationale_label=s.get("rationale_label",
+                                                 np.int32(0)))
+            rows.append(row)
         b = stack_batch(rows)
         out = (b["image"], b["boxes"], b["objects"], b["segms"],
                b["box_mask"], b["text_input_ids"], b["text_token_type_ids"],
-               b["text_tags"], b["text_mask"], b["im_info"])
-        if not test_mode:
-            out = out + (b["label"],)
+               b["text_tags"], b["text_mask"])
+        if task == "Q2AR" and not test_mode:
+            out = out + (b["rationale_input_ids"],
+                         b["rationale_token_type_ids"],
+                         b["rationale_tags"], b["rationale_mask"],
+                         b["im_info"], b["label"], b["rationale_label"])
+        else:
+            out = out + (b["im_info"],)
+            if not test_mode:
+                out = out + (b["label"],)
         return out
 
     return collate

@@ -55,12 +55,61 @@ def build_vqa_db(questions_file, annotations_file=None, image_fn_template="",
     return db
 
 
+def build_vqa_imdb_db(imdb_file, image_set, data_path, boxes="36",
+                      test_mode=False):
+    """Pythia imdb ``.npy`` input path (ref vqa/data/datasets/vqa.py:357-376):
+    imdb[0] is an info header; each following item carries image_id /
+    question_id / question_tokens / answers. Image and box paths follow the
+    reference's directory conventions (:80-120); width/height come from the
+    COCO instances json when present (falling back to the image file at
+    __getitem__ time if the row lacks them).
+    """
+    imdb = np.load(imdb_file, allow_pickle=True)
+    coco_split = {"minival2014": "val2014",
+                  "valminusminival2014": "val2014",
+                  "test-dev2015": "test2015"}.get(image_set, image_set)
+    box_dir = os.path.join(
+        "vgbua_res101_precomputed",
+        ("test2015" if "test" in coco_split else "trainval")
+        + ("_resnet101_faster_rcnn_genome_36" if boxes == "36"
+           else "_resnet101_faster_rcnn_genome"))
+    dims = {}
+    inst = os.path.join(data_path, "annotations",
+                        f"instances_{coco_split}.json")
+    if not os.path.exists(inst):
+        inst = os.path.join(data_path, "annotations",
+                            f"image_info_{coco_split}.json")
+    if os.path.exists(inst):
+        with open(inst) as f:
+            for im in json.load(f)["images"]:
+                dims[im["id"]] = (im["width"], im["height"])
+
+    db = []
+    for item in imdb[1:]:
+        image_id = item["image_id"]
+        row = {
+            "image_id": image_id,
+            "question_id": item["question_id"],
+            "question_tokens": list(item["question_tokens"]),
+            "image_fn": os.path.join(
+                coco_split, f"COCO_{coco_split}_{image_id:012d}.jpg"),
+            "box_fn": os.path.join(box_dir, f"{image_id}.json"),
+        }
+        if image_id in dims:
+            row["width"], row["height"] = dims[image_id]
+        if not test_mode and item.get("answers") is not None:
+            row["answers"] = list(item["answers"])
+        db.append(row)
+    return db
+
+
 class VQADataset:
     def __init__(self, ann_file, image_set, root_path, data_path, *,
                  tokenizer, answer_vocab_file, transform=None,
                  test_mode=False, zip_mode=False,
                  with_precomputed_visual_feat=True,
-                 add_image_as_a_box=True, seed=0, **kwargs):
+                 add_image_as_a_box=True, boxes="36", use_imdb=True,
+                 seed=0, **kwargs):
         self.data_path = data_path
         self.test_mode = test_mode
         self.with_precomputed_visual_feat = with_precomputed_visual_feat
@@ -75,7 +124,12 @@ class VQADataset:
 
         path = ann_file if os.path.isabs(ann_file) \
             else os.path.join(data_path, ann_file)
-        if path.endswith(".jsonl"):
+        if path.endswith(".npy"):
+            # pythia imdb path (DATASET.USE_IMDB, ref :357-376)
+            assert use_imdb, "imdb .npy annotations require USE_IMDB"
+            self.database = build_vqa_imdb_db(
+                path, image_set, data_path, boxes=boxes, test_mode=test_mode)
+        elif path.endswith(".jsonl"):
             with open(path) as f:
                 self.database = [json.loads(l) for l in f if l.strip()]
         else:
@@ -128,7 +182,12 @@ class VQADataset:
         feats = None
         if self.with_precomputed_visual_feat:
             image = None
-            w0, h0 = idb["width"], idb["height"]
+            if "width" in idb:
+                w0, h0 = idb["width"], idb["height"]
+            else:    # imdb rows without a COCO instances json: read dims
+                img_fn = idb["image_fn"] if os.path.isabs(idb["image_fn"]) \
+                    else os.path.join(self.data_path, idb["image_fn"])
+                h0, w0 = read_image(img_fn).shape[:2]
             feats = np.frombuffer(b64_decode(boxes_data["features"]),
                                   np.float32) \
                 .reshape((boxes_data["num_boxes"], -1)).copy()

@@ -41,10 +41,10 @@ class ShardedSampler:
             idx = g.permutation(self.n)
         else:
             idx = np.arange(self.n)
-        # pad to divisible (wrap around, ref :47-49)
-        pad = self.total - self.n
-        if pad > 0:
-            idx = np.concatenate([idx, idx[:pad]])
+        # pad to divisible (wrap around, ref :47-49); np.resize tiles, so
+        # datasets smaller than a shard still pad fully
+        if self.total > self.n:
+            idx = np.resize(idx, self.total)
         return idx[self.rank::self.num_replicas]
 
 
@@ -80,9 +80,10 @@ class DataLoader:
         if not self.drop_last and len(idx) % self.batch_size:
             # pad by wrapping so every batch is full (static shapes); the
             # reference's DistributedSampler pads to divisibility the same
-            # way (ref distributed.py:47-49)
-            pad = self.batch_size - len(idx) % self.batch_size
-            idx = np.concatenate([idx, idx[:pad]])
+            # way (ref distributed.py:47-49). np.resize tiles, covering
+            # datasets smaller than one batch.
+            n_full = -(-len(idx) // self.batch_size) * self.batch_size
+            idx = np.resize(idx, n_full)
         nb = len(self)
         for b in range(nb):
             yield idx[b * self.batch_size:(b + 1) * self.batch_size]

@@ -56,28 +56,58 @@ def _is_native(path):
         return False
 
 
-def run_inference(config, task, ckpt_path, mode="test", output_dir="."):
-    """Shared inference loop; returns list of per-example output dicts."""
+def _n_labels(config, task, mode):
+    if mode == "test":
+        return 0
+    if task == "vcr" and not isinstance(config.DATASET, list) \
+            and config.DATASET.get("TASK") == "Q2AR":
+        return 2      # answer_label + rationale_label
+    return 1
+
+
+def setup_inference(config, task, ckpt_path, mode="test"):
+    """Build (model, params, jitted infer fn, loader, mesh) for a task."""
     mesh = make_mesh(config.TPU.MESH_SHAPE, config.TPU.MESH_AXES)
     tokenizer = BertTokenizer.from_pretrained(config.NETWORK.BERT_MODEL_NAME)
     dtype = jnp.bfloat16 if config.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     model = build_module(config, task, dtype=dtype)
     loader = make_dataloader(config, task, mode, tokenizer)
 
+    n_label = _n_labels(config, task, mode)
     sample = next(iter(loader))
+    init_batch = sample if n_label == 0 else sample[:-n_label]
+    if task == "vcr" and config.DATASET.get("TASK") == "QA2R" \
+            and mode == "test":
+        # conditioned text tensors are [B, A, C, T]; the model sees one
+        # conditioning slice [B, C, T] at a time (ref vcr test.py:101-108)
+        init_batch = _slice_conditioned(init_batch, 0)
     init_rngs = {"params": jax.random.PRNGKey(0),
                  "dropout": jax.random.PRNGKey(1)}
-    n_label = 0 if mode == "test" else 1
-    init_batch = sample if mode == "test" else sample[:-1]
-    params = model.init(init_rngs, *init_batch, train=False)
+    params = jax.jit(
+        lambda r: model.init(r, *init_batch, train=False))(init_rngs)
     params = _load_params(config, params, ckpt_path)
 
     infer = jax.jit(lambda p, *b: model.apply(p, *b, train=False))
+    return model, params, infer, loader, mesh, n_label
 
+
+def _slice_conditioned(batch, a_id):
+    """Select conditioning-answer a_id from [B, A, C, T] text tensors
+    (batch slots 5-8: input_ids, token_type_ids, tags, mask)."""
+    out = list(batch)
+    for k in (5, 6, 7, 8):
+        out[k] = batch[k][:, a_id]
+    return tuple(out)
+
+
+def run_inference(config, task, ckpt_path, mode="test", output_dir="."):
+    """Shared inference loop; returns list of per-example output dicts."""
+    _, params, infer, loader, mesh, n_label = setup_inference(
+        config, task, ckpt_path, mode)
     results = []
     with mesh:
         for batch in loader:
-            b = shard_batch(batch if mode == "test" else batch[:-1], mesh)
+            b = shard_batch(batch if n_label == 0 else batch[:-n_label], mesh)
             out = jax.device_get(infer(params, *b))
             results.append(out)
     return results, loader
@@ -103,26 +133,74 @@ def test_net_vqa(config, ckpt_path, answer_vocab, output_path, mode="test"):
     return answers
 
 
+def _softmax_np(logits):
+    logits = np.asarray(logits, np.float32)
+    p = np.exp(logits - logits.max(1, keepdims=True))
+    return p / p.sum(1, keepdims=True)
+
+
 def test_net_vcr(config, ckpt_path, output_path, mode="test"):
-    """VCR csv with per-choice probabilities (ref vcr test :101-115)."""
-    results, loader = run_inference(config, "vcr", ckpt_path, mode)
-    rows = []
-    i = 0
+    """VCR leaderboard csv (ref vcr/function/test.py:90-135).
+
+    Q2A: 4 columns ``answer_{i}``. QA2R test mode: 4 conditioned passes
+    (one per candidate answer, ref :101-115) -> 16 columns
+    ``rationale_conditioned_on_a{i}_{j}``. Also saves the raw prob matrix
+    as .npy next to the csv (ref :118-121).
+    """
+    task = config.DATASET.TASK
+    assert task in ("Q2A", "QA2R"), \
+        f"leaderboard test supports Q2A/QA2R, got {task!r} (ref test.py:116)"
+    conditioned = task == "QA2R" and mode == "test"
+
+    _, params, infer, loader, mesh, n_label = setup_inference(
+        config, "vcr", ckpt_path, mode)
     db = loader.dataset.database
-    for out in results:
-        logits = np.asarray(out["label_logits"], np.float32)
-        probs = np.exp(logits - logits.max(1, keepdims=True))
-        probs /= probs.sum(1, keepdims=True)
-        for p in probs:
-            if i < len(db):
-                rows.append([db[i].get("annot_id", i)] + p.tolist())
-            i += 1
+
+    all_probs = []
+    with mesh:
+        for batch in loader:
+            data = batch if n_label == 0 else batch[:-n_label]
+            if conditioned:
+                per_a = []
+                for a_id in range(4):
+                    b = shard_batch(_slice_conditioned(data, a_id), mesh)
+                    out = jax.device_get(infer(params, *b))
+                    per_a.append(_softmax_np(out["label_logits"]))
+                # [B, 16]: blocks of 4 rationale probs per conditioning answer
+                all_probs.append(np.concatenate(per_a, axis=1))
+            else:
+                b = shard_batch(data, mesh)
+                out = jax.device_get(infer(params, *b))
+                all_probs.append(_softmax_np(out["label_logits"]))
+    probs = np.concatenate(all_probs, axis=0)[: len(db)]
+
+    np.save(os.path.splitext(output_path)[0] + ".npy", probs)
+    if conditioned:
+        columns = [f"rationale_conditioned_on_a{i}_{j}"
+                   for i in range(4) for j in range(4)]
+    else:
+        columns = [f"answer_{k}" for k in range(probs.shape[1])]
+    rows = [[db[i].get("annot_id", i)] + probs[i].tolist()
+            for i in range(len(probs))]
     with open(output_path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["annot_id"] + [f"answer_{k}" for k in range(probs.shape[1])])
+        w.writerow(["annot_id"] + columns)
         w.writerows(rows)
     logger.info("wrote %d rows to %s", len(rows), output_path)
     return rows
+
+
+def merge_vcr_results(q2a_csv, qa2r_csv, output_path):
+    """Join the Q2A and QA2R csvs on annot_id into the final leaderboard
+    submission (ref vcr/function/test.py:138-147)."""
+    import pandas as pd
+
+    merged = pd.merge(pd.read_csv(q2a_csv), pd.read_csv(qa2r_csv),
+                      on="annot_id")
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    merged.to_csv(output_path, index=False)
+    logger.info("merged result csv saved to %s", output_path)
+    return output_path
 
 
 def test_net_refcoco(config, ckpt_path, output_path, mode="val"):

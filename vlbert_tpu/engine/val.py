@@ -21,6 +21,11 @@ TASK_LABELS = {
 
 def make_validation_fn(model, config, task, mesh):
     label_map = TASK_LABELS[task]
+    if task == "vcr" and not isinstance(config.DATASET, list) \
+            and config.DATASET.get("TASK") == "Q2AR":
+        # Q2AR batches carry both labels (answer, rationale); the module
+        # consumes them for the joint metric (ref vcr/val.py:200-210)
+        label_map = {"label": -2, "rationale_label": -1}
     n_labels = len(label_map)
 
     def eval_step(params, model_inputs, labels):

@@ -167,22 +167,28 @@ class ResNetVLBERTForVCR(nn.Module):
             net.CLASSIFIER_HIDDEN_SIZE, net.CLASSIFIER_DROPOUT,
             vl.hidden_act, vl.initializer_range, vl.dtype, name="final_mlp")
 
-    def __call__(self, image, boxes, objects, segms, box_mask,
-                 text_input_ids, text_token_type_ids, text_tags, text_mask,
-                 im_info, answer_label=None, train=True):
+    def extract_obj_reps(self, image, boxes, objects, segms, box_mask,
+                         im_info, deterministic):
+        """Visual feature extraction, shared by the answer and rationale
+        passes of Q2AR (text-independent)."""
+        net, vl = self.config.NETWORK, self.vl_config
+        B, O = box_mask.shape
+        if net.BLIND:
+            return {"obj_reps": jnp.zeros(
+                (B, O, net.IMAGE_FINAL_DIM), vl.dtype)}
+        return self.image_feature_extractor(
+            image, boxes, box_mask, im_info, classes=objects, segms=segms,
+            deterministic=deterministic)
+
+    def choice_logits(self, obj_reps, objects, box_mask,
+                      text_input_ids, text_token_type_ids, text_tags,
+                      text_mask, classifier, deterministic):
+        """Per-choice logits [B, C] for one (query, choices) text block
+        (ref vcr/modules/resnet_vlbert_for_vcr.py:306-346)."""
         cfg, vl = self.config, self.vl_config
         net = cfg.NETWORK
         B, C, T = text_input_ids.shape
         O = box_mask.shape[1]
-        deterministic = not train
-
-        if net.BLIND:
-            obj_reps = {"obj_reps": jnp.zeros(
-                (B, O, net.IMAGE_FINAL_DIM), vl.dtype)}
-        else:
-            obj_reps = self.image_feature_extractor(
-                image, boxes, box_mask, im_info, classes=objects, segms=segms,
-                deterministic=deterministic)
 
         if net.NO_GROUNDING:
             text_tags = jnp.zeros_like(text_tags)
@@ -234,8 +240,25 @@ class ResNetVLBERTForVCR(nn.Module):
             fold(box_mask_c), deterministic=deterministic,
             output_text_and_object_separately=True)
 
-        logits = self.final_mlp(pooled, deterministic=deterministic)
+        logits = classifier(pooled, deterministic=deterministic)
         logits = logits.reshape(B, C)                        # squeeze per-choice
+        return logits, h_obj, box_mask_c
+
+    def __call__(self, image, boxes, objects, segms, box_mask,
+                 text_input_ids, text_token_type_ids, text_tags, text_mask,
+                 im_info, answer_label=None, train=True):
+        cfg, vl = self.config, self.vl_config
+        net = cfg.NETWORK
+        B, C, T = text_input_ids.shape
+        O = box_mask.shape[1]
+        deterministic = not train
+
+        obj_reps = self.extract_obj_reps(
+            image, boxes, objects, segms, box_mask, im_info, deterministic)
+        logits, h_obj, box_mask_c = self.choice_logits(
+            obj_reps, objects, box_mask, text_input_ids,
+            text_token_type_ids, text_tags, text_mask, self.final_mlp,
+            deterministic)
 
         outputs = {"label_logits": logits}
         if not train:
@@ -277,6 +300,58 @@ class ResNetVLBERTForVCR(nn.Module):
                 cnn_reg = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
                 loss = loss + cnn_reg * net.CNN_LOSS_WEIGHT
                 outputs["cnn_regularization_loss"] = cnn_reg
+        return outputs, loss
+
+
+class ResNetVLBERTForVCRQ2AR(ResNetVLBERTForVCR):
+    """Single-model Q2AR: one visual backbone + VL-BERT scores answer
+    choices AND rationale choices (rationale query conditioned on the gt
+    answer at train/val time).
+
+    The reference has no single-model Q2AR — its dataset emits both streams
+    (ref vcr/data/datasets/vcr.py:385-397 Q2AR outputs) but the module never
+    consumes them and vcr/val.py pairs two separate models. Here the visual
+    path (ResNet + ROIAlign, the dominant FLOPs) is computed ONCE and shared
+    by both text passes; rationales get their own classifier head.
+    """
+
+    def setup(self):
+        super().setup()
+        net, vl = self.config.NETWORK, self.vl_config
+        self.final_mlp_rationale = Classifier(
+            net.CLASSIFIER_TYPE, 1, vl.hidden_size,
+            net.CLASSIFIER_HIDDEN_SIZE, net.CLASSIFIER_DROPOUT,
+            vl.hidden_act, vl.initializer_range, vl.dtype,
+            name="final_mlp_rationale")
+
+    def __call__(self, image, boxes, objects, segms, box_mask,
+                 text_input_ids, text_token_type_ids, text_tags, text_mask,
+                 rationale_input_ids, rationale_token_type_ids,
+                 rationale_tags, rationale_mask, im_info,
+                 answer_label=None, rationale_label=None, train=True):
+        net = self.config.NETWORK
+        deterministic = not train
+
+        obj_reps = self.extract_obj_reps(
+            image, boxes, objects, segms, box_mask, im_info, deterministic)
+        a_logits, _, _ = self.choice_logits(
+            obj_reps, objects, box_mask, text_input_ids,
+            text_token_type_ids, text_tags, text_mask, self.final_mlp,
+            deterministic)
+        r_logits, _, _ = self.choice_logits(
+            obj_reps, objects, box_mask, rationale_input_ids,
+            rationale_token_type_ids, rationale_tags, rationale_mask,
+            self.final_mlp_rationale, deterministic)
+
+        outputs = {"label_logits": a_logits, "rationale_logits": r_logits}
+        if not train:
+            return outputs
+
+        ans_loss = losses.cross_entropy(a_logits, answer_label)
+        rationale_loss = losses.cross_entropy(r_logits, rationale_label)
+        outputs.update(label=answer_label, rationale_label=rationale_label,
+                       ans_loss=ans_loss, rationale_loss=rationale_loss)
+        loss = (ans_loss + rationale_loss) * net.ANS_LOSS_WEIGHT
         return outputs, loss
 
 
@@ -642,6 +717,9 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
     if not isinstance(config, FrozenConfig):
         config = FrozenConfig(config)
     cls = MODULES[key]
+    if cls is ResNetVLBERTForVCR and task == "vcr" \
+            and config.DATASET.get("TASK") == "Q2AR":
+        cls = ResNetVLBERTForVCRQ2AR
     if cls is ResNetVLBERTForPretrainingMultitask:
         with_aux = config.MODULE.endswith("Multitask")
         return cls(config=config, vl_config=vl_cfg, with_aux=with_aux,

@@ -42,17 +42,29 @@ def replicated(mesh):
 
 
 def shard_batch(batch, mesh, batch_dim=0):
-    """Device-put a host batch (pytree of np arrays) with batch-dim sharding.
+    """Turn a HOST-LOCAL batch (pytree of np arrays) into global arrays
+    sharded on the batch dim over the 'data' mesh axis.
 
     batch_dim=1 for gradient-accumulation layouts [accum, micro, ...] —
     the accumulation axis is scanned per device, the micro axis is the
     data-parallel one.
+
+    Single process: a plain sharded device_put. Multi-process (the
+    reference's NCCL DDP world, ref vcr/function/train.py:72-86 +
+    DistributedSampler per-rank shards): each process holds only its shard
+    of the global batch, so the global array must be assembled with
+    ``jax.make_array_from_process_local_data`` — the per-host shards become
+    one global array whose addressable pieces live on each host's devices;
+    no data crosses DCN.
     """
     sh = batch_sharding(mesh, batch_dim)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         if x is None:
             return None
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)

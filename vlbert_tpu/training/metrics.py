@@ -27,6 +27,25 @@ def vcr_accuracy(outputs):
     return jnp.sum(correct), logits.shape[0]
 
 
+def vcr_rationale_accuracy(outputs):
+    """Q2AR rationale accuracy (ref vcr_metrics.py Accuracy on the rationale
+    stream; single-model Q2AR emits both logit sets)."""
+    logits = outputs["rationale_logits"]
+    label = outputs["rationale_label"]
+    correct = (jnp.argmax(logits, axis=1) == label).astype(jnp.float32)
+    return jnp.sum(correct), logits.shape[0]
+
+
+def vcr_joint_accuracy(outputs):
+    """Q->AR joint = answer AND rationale both correct
+    (ref vcr_metrics.py JointAccuracy :67-78, vcr/val.py:200-210)."""
+    a_ok = jnp.argmax(outputs["label_logits"], axis=1) == outputs["label"]
+    r_ok = (jnp.argmax(outputs["rationale_logits"], axis=1)
+            == outputs["rationale_label"])
+    correct = (a_ok & r_ok).astype(jnp.float32)
+    return jnp.sum(correct), correct.shape[0]
+
+
 def vqa_soft_accuracy(outputs):
     """ref: vqa_metrics.py:20-31 — soft score of the argmax answer."""
     logits = outputs["label_logits"]
@@ -138,6 +157,10 @@ def device_metrics(task, config, outputs):
         if name == "MVRCAcc" and "mvrc_logits" not in outputs:
             continue
         out[name] = fn(outputs)
+    if task == "vcr" and "rationale_logits" in outputs \
+            and "rationale_label" in outputs:
+        out["RationaleAcc"] = vcr_rationale_accuracy(outputs)
+        out["JointAcc"] = vcr_joint_accuracy(outputs)
     if task == "pretrain" and config.NETWORK.WITH_REL_LOSS \
             and "relationship_logits" in outputs:
         out["RelAcc"] = relationship_accuracy(outputs)
