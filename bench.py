@@ -1,17 +1,27 @@
-"""Benchmark: flagship forward throughput on the real chip.
+"""Benchmark: flagship throughput on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 
-Measures the BASELINE.json headline: images/sec/chip through the full
-ROIAlign + VL-BERT forward path (ResNet-101 backbone, 14x14 ROIAlign, conv5
-head, 12-layer VL-BERT-base over [text|boxes|END]), bf16 compute.
+Headline value = forward images/sec/chip through the full ROIAlign +
+VL-BERT path (ResNet-101 backbone, 14x14 ROIAlign, conv5 head, 12-layer
+VL-BERT-base over [text|boxes|END]), bf16 compute, 608px, 36 boxes, 4x48
+text. "details" carries the train-step number and MFU for both.
 
-vs_baseline: BASELINE.md gives no published reference throughput (the
-reference logs Speedometer live only). We anchor against the 2x-A100 target
-in BASELINE.json: an A100 runs this fwd path at roughly 120 img/s (fp16,
-batch 8, 600px, measured-class estimate for the torch reference), so the
-target is 240 img/s/chip; vs_baseline reports value/120 (i.e. >2.0 beats
-the target).
+Methodology:
+  * throughput: varied pre-staged inputs (the device tunnel dedupes
+    identical executions), N pipelined dispatches, ONE final
+    block_until_ready — per-call blocking adds a ~30 ms tunnel round trip
+    that is not the chip's time;
+  * MFU: XLA's own cost analysis (compiled.cost_analysis()["flops"]) over
+    the measured wall time, against the chip's published bf16 peak. This
+    replaces the earlier hand-estimated A100 anchor (the reference repo
+    publishes no throughput; Speedometer logs live only). vs_baseline is
+    still reported against that 120 img/s measured-class A100 estimate for
+    continuity with BENCH_r01 and is labeled as an estimate in "details".
+
+Modes: default = fwd + train-step (B=4). --accum adds the shipped-config
+train step (per-device batch 4 x grad-accum 4, cfgs/vcr/base_q2a_4x16G).
+--large adds a VL-BERT-large (24-layer, 1024-hidden) train step.
 """
 
 import json
@@ -21,57 +31,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# continuity anchor from round 1 (measured-class ESTIMATE, see module doc)
 A100_REFERENCE_IMG_PER_S = 120.0
-
-
-def train_bench():
-    """--train: full e2e train-step throughput (fwd+bwd+AdamW)."""
-    import jax
-    import numpy as np
-
-    _enable_compile_cache()
-
-    from __graft_entry__ import _flagship, _vcr_batch
-    from vlbert_tpu.parallel.mesh import make_mesh, replicated, shard_batch
-    from vlbert_tpu.training.loop import create_train_state, make_train_step
-
-    cfg, model = _flagship(tiny=False)
-    cfg.TRAIN.OPTIMIZER = "AdamW"
-    B = 4
-    batch = _vcr_batch(B=B, img=608, O=36, C=4, T=48)
-    mesh = make_mesh()
-    state, tx, _ = create_train_state(model, batch, cfg, steps_per_epoch=100)
-    step = make_train_step(model, tx, "vcr", cfg, grad_accum=1)
-    rep = replicated(mesh)
-    jit_step = jax.jit(step, donate_argnums=(0,),
-                       out_shardings=(rep, rep, rep))
-    with mesh:
-        state = jax.device_put(state, rep)
-        sb = shard_batch(batch, mesh)
-        imgs = [jax.device_put(sb[0] + 0.01 * i) for i in range(16)]
-        jax.block_until_ready(imgs)
-        s, l, _ = jit_step(state, (imgs[0],) + sb[1:], jax.random.PRNGKey(0))
-        jax.block_until_ready(l)
-        # warm a few steps so the chained-state signature is stable, then
-        # time 12 pipelined steps; losses must all differ (dedupe guard)
-        for i in range(1, 4):
-            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
-        jax.block_until_ready(l)
-        t0 = time.time()
-        losses = []
-        for i in range(4, 16):
-            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
-            losses.append(l)
-        jax.block_until_ready(losses)
-        dt = (time.time() - t0) / 12
-        lv = [float(x) for x in losses]
-        assert len(set(lv)) == len(lv), f"dedupe artifact: {lv}"
-    print(json.dumps({
-        "metric": "train images/sec/chip (ResNet-101 e2e VCR fwd+bwd+AdamW, 608px)",
-        "value": round(B / dt, 2),
-        "unit": "img/s",
-        "vs_baseline": round(B / dt / 10.0, 3),  # reference ~10 img/s/GPU est.
-    }))
+# TPU v5e (v5 lite) published peak: 197 TFLOP/s bf16
+V5E_PEAK_BF16 = 197e12
 
 
 def _enable_compile_cache():
@@ -83,49 +46,167 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
+def _flops_of(jitted, *args):
+    """XLA's analytical flop count for one execution, or None."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def _pipelined_time(call, inputs, n_warm=2):
+    """Dispatch one call per input, block once at the end; seconds/call."""
     import jax
-    import jax.numpy as jnp
+
+    outs = [call(x) for x in inputs[:n_warm]]
+    jax.block_until_ready(outs)
+    t0 = time.time()
+    outs = [call(x) for x in inputs[n_warm:]]
+    jax.block_until_ready(outs)
+    return (time.time() - t0) / (len(inputs) - n_warm), outs
+
+
+def fwd_bench(B=16, IMG=608, O=36, C=4, T=48):
+    import jax
     import numpy as np
 
     from __graft_entry__ import _flagship, _vcr_batch
 
-    _enable_compile_cache()
     cfg, model = _flagship(tiny=False)
-    B, IMG, O, C, T = 16, 608, 36, 4, 48
     batch = _vcr_batch(B=B, img=IMG, O=O, C=C, T=T)
     init_rngs = {"params": jax.random.PRNGKey(0),
                  "dropout": jax.random.PRNGKey(1)}
-    # jitted init: one compiled (and disk-cached) program instead of
-    # thousands of eager dispatches through the device tunnel
     params = jax.jit(lambda r: model.init(r, *batch, train=True))(init_rngs)
 
     fwd = jax.jit(lambda p, *a: model.apply(p, *a, train=False))
     args = batch[:-1]
-
     jax.block_until_ready(fwd(params, *args)["label_logits"])  # compile
-    # varied pre-staged inputs: identical repeated executions can be deduped
-    # by the device tunnel and report impossible numbers
-    n_iter = 20
+    flops = _flops_of(fwd, params, *args)
+
+    n_iter = 22
     images = [jax.device_put(np.asarray(args[0]) + 0.01 * i)
               for i in range(n_iter)]
     jax.block_until_ready(images[-1])
-    t0 = time.time()
-    outs = [fwd(params, im, *args[1:])["label_logits"] for im in images]
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / n_iter
-    img_per_s = B / dt
+    dt, _ = _pipelined_time(
+        lambda im: fwd(params, im, *args[1:])["label_logits"], images)
+    return {
+        "img_per_s": round(B / dt, 2),
+        "ms_per_batch": round(dt * 1e3, 3),
+        "batch": B,
+        "mfu": round(flops / dt / V5E_PEAK_BF16, 4) if flops else None,
+        "tflops_per_batch": round(flops / 1e12, 2) if flops else None,
+    }
 
+
+def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48):
+    """Full e2e train-step throughput (fwd + bwd + AdamW [+ scan accum])."""
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _flagship, _vcr_batch
+    from vlbert_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from vlbert_tpu.training.loop import create_train_state, make_train_step
+
+    cfg, model = _flagship(tiny=False)
+    if large:
+        v = cfg.NETWORK.VLBERT
+        v.hidden_size = 1024
+        v.visual_size = 1024
+        v.num_hidden_layers = 24
+        v.num_attention_heads = 16
+        v.intermediate_size = 4096
+        cfg.NETWORK.IMAGE_FINAL_DIM = 1024
+        from vlbert_tpu.models.task_modules import build_module
+        import jax.numpy as jnp
+
+        model = build_module(cfg, "vcr", dtype=jnp.bfloat16)
+    cfg.TRAIN.OPTIMIZER = "AdamW"
+    cfg.TRAIN.GRAD_ACCUMULATE_STEPS = accum
+    batch = _vcr_batch(B=B * accum, img=IMG, O=O, C=C, T=T)
+    if accum > 1:
+        batch = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).reshape(accum, B, *x.shape[1:]), batch)
+    mesh = make_mesh()
+    init_batch = batch if accum == 1 else jax.tree_util.tree_map(
+        lambda x: x[0], batch)
+    state, tx, _ = create_train_state(model, init_batch, cfg,
+                                      steps_per_epoch=100)
+    step = make_train_step(model, tx, "vcr", cfg, grad_accum=accum)
+    rep = replicated(mesh)
+    jit_step = jax.jit(step, donate_argnums=(0,),
+                       out_shardings=(rep, rep, rep))
+    with mesh:
+        state = jax.device_put(state, rep)
+        sb = shard_batch(batch, mesh, batch_dim=0 if accum == 1 else 1)
+        imgs = [jax.device_put(sb[0] + 0.01 * i) for i in range(16)]
+        jax.block_until_ready(imgs)
+        rng = jax.random.PRNGKey(0)
+        s, l, _ = jit_step(state, (imgs[0],) + sb[1:], rng)
+        jax.block_until_ready(l)
+        flops = None
+        try:
+            flops = _flops_of(jax.jit(step), s, (imgs[0],) + sb[1:], rng)
+        except Exception:
+            pass
+        for i in range(1, 4):   # stabilize donated-state signature
+            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
+        jax.block_until_ready(l)
+        t0 = time.time()
+        losses = []
+        for i in range(4, 16):
+            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
+            losses.append(l)
+        jax.block_until_ready(losses)
+        dt = (time.time() - t0) / 12
+        lv = [float(x) for x in losses]
+        assert len(set(lv)) == len(lv), f"dedupe artifact: {lv}"
+    eff_b = B * accum
+    # XLA's cost analysis counts a lax.scan body ONCE (measured: identical
+    # flops reported for accum=1 and accum=4); scale by trip count
+    if flops:
+        flops *= accum
+    return {
+        "img_per_s": round(eff_b / dt, 2),
+        "ms_per_step": round(dt * 1e3, 3),
+        "batch": B,
+        "accum": accum,
+        "mfu": round(flops / dt / V5E_PEAK_BF16, 4) if flops else None,
+        "tflops_per_step": round(flops / 1e12, 2) if flops else None,
+    }
+
+
+def main():
+    _enable_compile_cache()
+    details = {"methodology": (
+        "pipelined dispatch, varied pre-staged inputs, single terminal "
+        "block_until_ready; MFU = XLA cost_analysis flops / wall / 197e12 "
+        "(v5e bf16 peak); vs_baseline anchor 120 img/s is a measured-class "
+        "A100 ESTIMATE kept for continuity with BENCH_r01")}
+    fwd = fwd_bench()
+    details["fwd"] = fwd
+    details["train_step"] = train_bench(B=4, accum=1)
+    if "--accum" in sys.argv:
+        # shipped VCR base config: per-device batch 4, grad-accum 4
+        details["train_step_accum4"] = train_bench(B=4, accum=4)
+    if "--large" in sys.argv:
+        details["train_step_large"] = train_bench(B=2, accum=1, large=True)
     print(json.dumps({
-        "metric": "images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, 36 boxes, 4x48 text, B=16)",
-        "value": round(img_per_s, 2),
+        "metric": ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
+                   "36 boxes, 4x48 text, B=16)"),
+        "value": fwd["img_per_s"],
         "unit": "img/s",
-        "vs_baseline": round(img_per_s / A100_REFERENCE_IMG_PER_S, 3),
+        "vs_baseline": round(fwd["img_per_s"] / A100_REFERENCE_IMG_PER_S, 3),
+        "details": details,
     }))
 
 
 if __name__ == "__main__":
-    if "--train" in sys.argv:
-        train_bench()
+    if "--train" in sys.argv and "--accum" not in sys.argv \
+            and "--large" not in sys.argv:
+        _enable_compile_cache()
+        print(json.dumps(train_bench(B=4, accum=1)))
     else:
         main()

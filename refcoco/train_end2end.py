@@ -15,6 +15,11 @@ def main():
     maybe_init_distributed(args)
     config = load_config("refcoco", args.cfg)
     state = train_net(args, config, "refcoco")
+    if args.do_test:
+        # rank-0 post-training test (ref vcr/train_end2end.py:51-56)
+        from vlbert_tpu.engine.test import do_test
+
+        do_test(args, config, "refcoco")
     return state
 
 

@@ -27,20 +27,30 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 @pytest.fixture(scope="module")
 def ref_modules():
     # the reference's file_utils imports boto3/requests/tqdm at module
-    # scope; stub them (never used on this code path)
+    # scope; stub them (never used on this code path), and UNDO the stubs on
+    # teardown so later real imports (transformers needs requests/tqdm)
+    # still work
+    added = []
     for mod in ("boto3", "requests", "tqdm"):
         m = types.ModuleType(mod)
         if mod == "tqdm":
             m.tqdm = lambda x, **k: x
-        sys.modules.setdefault(mod, m)
+        if mod not in sys.modules:
+            sys.modules[mod] = m
+            added.append(mod)
     be = types.ModuleType("botocore.exceptions")
     be.ClientError = Exception
-    sys.modules.setdefault("botocore", types.ModuleType("botocore"))
-    sys.modules.setdefault("botocore.exceptions", be)
+    for name, m in (("botocore", types.ModuleType("botocore")),
+                    ("botocore.exceptions", be)):
+        if name not in sys.modules:
+            sys.modules[name] = m
+            added.append(name)
     sys.path.insert(0, REF)
     from common import visual_linguistic_bert as ref_vlb
 
     yield ref_vlb
+    for name in added:
+        sys.modules.pop(name, None)
     sys.path.remove(REF)
 
 

@@ -137,3 +137,48 @@ def test_validation_fn_numerics(rng):
     label[B // 2:, 2] = 1.0
     val = vfn(type("S", (), {"params": None})(), [(x, label)])
     assert abs(val["SoftAcc"] - 0.5) < 1e-6
+
+
+def test_attention_viewer_npy_assumptions(tmp_path):
+    """viz/attention_viewer.html parses .npy in JS with fixed byte-layout
+    assumptions (v1 header: magic \\x93NUMPY, uint16 header-len at offset 8,
+    data at 10+hlen, '<f4' C-order). Validate those against numpy's actual
+    serialization and the viewer's flat-index formula."""
+    import json
+    import os
+    import re
+    import struct
+
+    import numpy as np
+
+    p = np.random.default_rng(0).uniform(size=(3, 4, 10, 10)).astype(np.float32)
+    f = tmp_path / "0_attention_probs.npy"
+    np.save(f, p)
+    buf = f.read_bytes()
+
+    assert buf[0] == 0x93 and buf[1:6] == b"NUMPY"
+    major = buf[6]
+    assert major == 1
+    hlen = struct.unpack("<H", buf[8:10])[0]
+    header = buf[10:10 + hlen].decode()
+    shape = tuple(int(x) for x in
+                  re.search(r"'shape':\s*\(([^)]*)\)", header).group(1)
+                  .split(",") if x.strip())
+    descr = re.search(r"'descr':\s*'([^']*)'", header).group(1)
+    assert shape == (3, 4, 10, 10) and descr == "<f4"
+    data = np.frombuffer(buf[10 + hlen:], np.float32)
+    assert data.size == p.size
+
+    # the viewer's att(l, h, i, j) flat-index formula
+    def att(l, h, i, j):
+        L = shape[3]
+        return data[((l * shape[1] + h) * L + i) * L + j]
+
+    assert att(2, 3, 7, 1) == p[2, 3, 7, 1]
+    assert att(0, 0, 0, 9) == p[0, 0, 0, 9]
+
+    # the viewer file itself exists and is self-contained (no external src)
+    html = open(os.path.join(os.path.dirname(__file__), "..", "viz",
+                             "attention_viewer.html")).read()
+    assert "parseNpy" in html and "<script src" not in html
+    json.dump(["[CLS]"], open(tmp_path / "0_tokens.json", "w"))

@@ -83,7 +83,8 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
             with_mvrc_task=cfg.NETWORK.WITH_MVRC_LOSS, **common)
         collate = make_pretrain_collate(
             max_text, max_boxes, cfg.NETWORK.VLBERT.visual_region_classes,
-            precomputed_dim=2048 if cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED else 0)
+            precomputed_dim=d.get("PRECOMPUTED_FEAT_DIM", 2048)
+            if cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED else 0)
     elif name == "general_corpus":
         ds = ds_cls(ann_file=ann_file, tokenizer=tokenizer,
                     seq_len=d.get("SEQ_LEN", 64),
@@ -109,7 +110,8 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
                     use_imdb=d.get("USE_IMDB", True), **common)
         collate = make_vqa_collate(
             tokenizer, max_text, max_boxes,
-            precomputed_dim=2048 if cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED else 0,
+            precomputed_dim=d.get("PRECOMPUTED_FEAT_DIM", 2048)
+            if cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED else 0,
             test_mode=test_mode)
     elif name in ("refcoco", "refcoco+"):
         boxes_field = {"train": "TRAIN_BOXES", "val": "VAL_BOXES",

@@ -190,6 +190,36 @@ def test_net_vcr(config, ckpt_path, output_path, mode="test"):
     return rows
 
 
+def do_test(args, config, task):
+    """Post-training rank-0 test run behind --do-test
+    (ref vcr/train_end2end.py:51-56: rank 0 runs test_net on the best
+    checkpoint after training finishes)."""
+    if jax.process_index() != 0:
+        return None
+    train_output = os.path.join(
+        config.OUTPUT_PATH or getattr(args, "model_dir", "") or "./output",
+        f"{task}_train")
+    prefix = config.MODEL_PREFIX or "vlbert_tpu"
+    ckpt = getattr(args, "ckpt", "") or os.path.join(
+        train_output, f"{prefix}-best.model")
+    result_path = getattr(args, "result_path", "") or train_output
+    os.makedirs(result_path, exist_ok=True)
+    name = getattr(args, "result_name", "") or "result"
+    if task == "vcr":
+        out = os.path.join(result_path,
+                           f"{name}_test_{config.DATASET.TASK}.csv")
+        return test_net_vcr(config, ckpt, out, mode="test")
+    if task == "vqa":
+        with open(config.DATASET.ANSWER_VOCAB_FILE) as f:
+            vocab = [l.strip() for l in f if l.strip()]
+        out = os.path.join(result_path, f"{name}_vqa2_test.json")
+        return test_net_vqa(config, ckpt, vocab, out, mode="test")
+    if task == "refcoco":
+        out = os.path.join(result_path, f"{name}_refcoco_test.json")
+        return test_net_refcoco(config, ckpt, out, mode="test")
+    raise ValueError(f"--do-test unsupported for task {task!r}")
+
+
 def merge_vcr_results(q2a_csv, qa2r_csv, output_path):
     """Join the Q2A and QA2R csvs on annot_id into the final leaderboard
     submission (ref vcr/function/test.py:138-147)."""

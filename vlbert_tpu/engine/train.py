@@ -124,17 +124,21 @@ def train_net(args, config, task):
     state, begin_epoch, extra = ckpt_lib.smart_resume(
         model_prefix, state, config)
 
-    def checkpoint_fn(st, epoch, best_val):
-        if rank == 0:
-            path = ckpt_lib.save_checkpoint(model_prefix, epoch, st,
-                                            extra={"best_val": best_val})
-            ckpt_lib.mirror_best(model_prefix, path)
-
     validation_fn = None
     if val_loader is not None:
         from vlbert_tpu.engine.val import make_validation_fn
 
         validation_fn = make_validation_fn(model, config, task, mesh)
+
+    def checkpoint_fn(st, epoch, best_val, is_best):
+        if rank == 0:
+            path = ckpt_lib.save_checkpoint(model_prefix, epoch, st,
+                                            extra={"best_val": best_val})
+            # -best.model mirrors only the best-val epoch (ref checkpoint.py:
+            # 10-25 keyed on validation_monitor.best_epoch); without
+            # validation, every save is "best" (nothing else to rank by)
+            if is_best or validation_fn is None:
+                ckpt_lib.mirror_best(model_prefix, path)
 
     writer = None
     if getattr(args, "log_dir", None) and rank == 0:
@@ -149,7 +153,8 @@ def train_net(args, config, task):
                 val_loader=val_loader, mesh=mesh, state=state, tx=tx,
                 checkpoint_fn=checkpoint_fn, validation_fn=validation_fn,
                 begin_epoch=begin_epoch, writer=writer,
-                profile_dir=getattr(args, "profile_dir", None))
+                profile_dir=getattr(args, "profile_dir", None),
+                best_val=extra.get("best_val"))
     if writer is not None:
         writer.close()
     return state

@@ -43,6 +43,7 @@ class FastRCNN(nn.Module):
     enable_cnn_reg_loss: bool = False
     image_semantic: bool = False  # 81-way class embedding (ref :31-34,68-71)
     roi_chunk: Optional[int] = None  # chunk ROIAlign intermediates
+    roi_align_impl: str = "xla"      # 'xla' (einsum) | 'pallas' (kernel)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -77,7 +78,8 @@ class FastRCNN(nn.Module):
             rois = roi_align(
                 body4, boxes, box_mask, pooled_h=14, pooled_w=14,
                 spatial_scale=1.0 / 16, sampling_ratio=0,
-                chunk=self.roi_chunk)                # fp32, ref roi_align.py:69
+                chunk=self.roi_chunk,
+                impl=self.roi_align_impl)            # fp32, ref roi_align.py:69
             rois = rois.astype(self.dtype)
 
             head = ResNetRoIHead(

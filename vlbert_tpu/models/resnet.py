@@ -232,8 +232,11 @@ class ResNetRoIHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         block, layers = RESNET_SPECS[self.num_layers]
+        # the reference builds the ROI head with blocks=3 for EVERY depth
+        # (common/fast_rcnn.py:74-77 `_make_layer(..., blocks=3, ...)`),
+        # not the backbone's own layer4 count — matters for resnet18/34
         x = ResNetStage(
-            block, 512, layers[3],
+            block, 512, 3,
             stride=1 if self.c5_dilated else 2,
             dilation=2 if self.c5_dilated else 1,
             stride_in_1x1=self.stride_in_1x1,

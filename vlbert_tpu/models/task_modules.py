@@ -111,6 +111,7 @@ class Classifier(nn.Module):
 
 def _fast_rcnn_from_cfg(cfg, vl_cfg, enable_cnn_reg_loss=False, name="image_feature_extractor"):
     n = cfg.NETWORK
+    tpu = cfg.TPU if "TPU" in cfg else None
     return FastRCNN(
         image_feat_precomputed=n.IMAGE_FEAT_PRECOMPUTED,
         num_layers=n.IMAGE_NUM_LAYERS,
@@ -120,6 +121,7 @@ def _fast_rcnn_from_cfg(cfg, vl_cfg, enable_cnn_reg_loss=False, name="image_feat
         final_dim=n.IMAGE_FINAL_DIM,
         enable_cnn_reg_loss=enable_cnn_reg_loss,
         image_semantic=n.IMAGE_SEMANTIC,
+        roi_align_impl=(tpu.get("ROI_ALIGN_IMPL", "xla") if tpu else "xla"),
         dtype=vl_cfg.dtype,
         name=name,
     )

@@ -65,36 +65,43 @@ def make_train_step(model, tx, task, config, grad_accum=1):
     """
 
     def one_micro(params, batch, rng):
-        (loss), grads = jax.value_and_grad(
-            lambda p: model.apply(p, *batch, train=True,
-                                  rngs={"dropout": rng})[1])(params)
-        return loss, grads
+        def lf(p):
+            outputs, loss = model.apply(p, *batch, train=True,
+                                        rngs={"dropout": rng})
+            return loss, metrics_lib.device_metrics(task, config, outputs)
+
+        (loss, dm), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        return loss, grads, dm
 
     def train_step(state, batch, rng):
         params = state.params
         if grad_accum > 1:
+            # metric (sum, count) pairs accumulate across microbatches inside
+            # the scan — no extra forward for metrics (they're a byproduct of
+            # the loss forward)
             def body(carry, xs):
-                loss_sum, grads_sum, i = carry
+                loss_sum, grads_sum, dm_sum, i = carry
                 micro = jax.tree_util.tree_map(lambda x: x[i], batch)
                 r = jax.random.fold_in(rng, i)
-                loss, grads = one_micro(params, micro, r)
+                loss, grads, dm = one_micro(params, micro, r)
                 grads_sum = jax.tree_util.tree_map(
                     lambda a, g: a + g, grads_sum, grads)
-                return (loss_sum + loss, grads_sum, i + 1), None
+                dm_sum = jax.tree_util.tree_map(
+                    lambda a, m: a + m, dm_sum, dm)
+                return (loss_sum + loss, grads_sum, dm_sum, i + 1), None
 
             zero_grads = jax.tree_util.tree_map(
                 lambda p: jnp.zeros_like(p, jnp.float32), params)
-            (loss_sum, grads, _), _ = jax.lax.scan(
-                body, (jnp.zeros((), jnp.float32), zero_grads, 0), None,
-                length=grad_accum)
+            micro0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+            dm_shapes = jax.eval_shape(
+                lambda p, b: one_micro(p, b, rng)[2], params, micro0)
+            zero_dm = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), dm_shapes)
+            (loss_sum, grads, dm, _), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero_grads, zero_dm, 0),
+                None, length=grad_accum)
             loss = loss_sum / grad_accum
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
-            # metrics from the last microbatch only (cheap, representative);
-            # loss metrics use the averaged loss
-            last = jax.tree_util.tree_map(lambda x: x[-1], batch)
-            outputs, _ = model.apply(params, *last, train=True,
-                                     rngs={"dropout": rng})
-            dm = metrics_lib.device_metrics(task, config, outputs)
         else:
             def lf(p):
                 outputs, loss = model.apply(p, *batch, train=True,
@@ -172,7 +179,8 @@ class Speedometer:
 def fit(model, config, task, train_loader, steps_per_epoch, *,
         val_loader=None, mesh=None, state=None, tx=None,
         checkpoint_fn=None, validation_fn=None, rng=None,
-        begin_epoch=None, end_epoch=None, writer=None, profile_dir=None):
+        begin_epoch=None, end_epoch=None, writer=None, profile_dir=None,
+        best_val=None):
     """Host training loop (ref common/trainer.py:56-195).
 
     train_loader: iterable of batches (tuples of np arrays, already shaped
@@ -221,7 +229,21 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
         batch_images * jax.device_count() * grad_accum,
         config.LOG_FREQUENT, steps_per_epoch, end_epoch - begin_epoch)
     acc = metrics_lib.HostAccumulator()
-    best_val = float("-inf")
+    # ValidationMonitor state (ref validation_monitor.py:5-46): best_val is
+    # restored from the checkpoint `extra` on resume so -best.model never
+    # regresses across restarts (ref vcr/function/train.py:267-270)
+    best_val = float("-inf") if best_val is None else float(best_val)
+    host_metric = metrics_lib.host_metric_name(task, config)
+
+    # plateau schedule (ref common/trainer.py:95-98 + train.py:281-292):
+    # host steps the detector from the named val metric, rewriting the
+    # plateau_scale opt-state leaf between epochs
+    plateau = None
+    if config.TRAIN.LR_SCHEDULE == "plateau":
+        from vlbert_tpu.training.optim import ReduceLROnPlateau
+
+        plateau = ReduceLROnPlateau(factor=config.TRAIN.LR_FACTOR,
+                                    patience=1, threshold=1e-4, cooldown=2)
 
     global_step = int(state.step)
     profiling = False
@@ -277,15 +299,36 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
             pending.clear()
             logger.info("Epoch[%d] train: %s", epoch, acc.format())
 
+            is_best = False
             if validation_fn is not None and val_loader is not None \
                     and (epoch + 1) % max(config.VAL_FREQUENT, 1) == 0:
                 val = validation_fn(state, val_loader)
                 logger.info("Epoch[%d] val: %s", epoch, val)
-                host_val = (max(val.values()) if isinstance(val, dict) and val
-                            else val if not isinstance(val, dict) else float("-inf"))
+                if isinstance(val, dict):
+                    host_val = val.get(host_metric, float("-inf"))
+                else:
+                    host_val = val
                 if host_val > best_val:
                     best_val = host_val
+                    is_best = True
+                    logger.info("New Best Val %s: %s, Epoch: %d",
+                                host_metric, best_val, epoch)
+                if writer is not None and isinstance(val, dict):
+                    for k, v in val.items():
+                        writer.add_scalar(f"Val-{k}", v, epoch + 1)
+                if plateau is not None:
+                    from vlbert_tpu.training.optim import (get_plateau_scale,
+                                                           set_plateau_scale)
+
+                    new_scale = plateau.step(host_val)
+                    cur = float(jax.device_get(
+                        get_plateau_scale(state.opt_state)))
+                    if abs(new_scale - cur) > 1e-12:
+                        logger.info("plateau: LR scale %.6g -> %.6g",
+                                    cur, new_scale)
+                        state = state.replace(opt_state=set_plateau_scale(
+                            state.opt_state, new_scale))
             if checkpoint_fn is not None \
                     and (epoch + 1) % max(config.CHECKPOINT_FREQUENT, 1) == 0:
-                checkpoint_fn(state, epoch, best_val)
+                checkpoint_fn(state, epoch, best_val, is_best)
     return state

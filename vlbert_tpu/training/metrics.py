@@ -135,6 +135,17 @@ def loss_logger(outputs, key):
     return jnp.sum(v.astype(jnp.float32)), 1
 
 
+# ValidationMonitor's named host metric per task (ref vcr/function/
+# train.py:257 'Acc', vqa :256 'SoftAcc', refcoco :245 'RefAcc',
+# pretrain :279 MLM accuracy)
+HOST_METRIC_NAME = {"vcr": "Acc", "vqa": "SoftAcc", "refcoco": "RefAcc",
+                    "pretrain": "MLMAcc"}
+
+
+def host_metric_name(task, config=None):
+    return HOST_METRIC_NAME[task]
+
+
 TASK_METRICS = {
     "vcr": {"Acc": vcr_accuracy},
     "vqa": {"SoftAcc": vqa_soft_accuracy},

@@ -178,7 +178,9 @@ def _scale_by_plateau():
 
     The 'plateau' schedule (ref common/trainer.py:95-98 +
     torch ReduceLROnPlateau) is stepped on the host from the validation
-    metric; the host rewrites this leaf between epochs.
+    metric; the host rewrites this leaf between epochs via
+    ``set_plateau_scale`` (driven by ``ReduceLROnPlateau.step`` in the
+    training loop).
     """
 
     def init_fn(params):
@@ -189,6 +191,86 @@ def _scale_by_plateau():
         return (jax.tree_util.tree_map(lambda u: u * s, updates), state)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau detector with torch's semantics at the reference's
+    settings (ref vcr/function/train.py:281-292: mode='max',
+    factor=LR_FACTOR, patience=1, threshold=1e-4 'rel', cooldown=2,
+    min_lr=0). ``step(metric)`` returns the current LR scale; the caller
+    rewrites the ``plateau_scale`` opt-state leaf when it changes."""
+
+    def __init__(self, factor, patience=1, threshold=1e-4, cooldown=2,
+                 mode="max"):
+        assert mode == "max"
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.cooldown = cooldown
+        self.best = float("-inf")
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+        self.scale = 1.0
+
+    def _is_better(self, value):
+        # threshold_mode='rel', mode='max': exactly torch's rule
+        return value > self.best * (1.0 + self.threshold)
+
+    def step(self, value):
+        if self._is_better(value):
+            self.best = value
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            self.scale *= self.factor
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+        return self.scale
+
+    def state_dict(self):
+        return {k: getattr(self, k) for k in
+                ("best", "num_bad_epochs", "cooldown_counter", "scale")}
+
+    def load_state_dict(self, d):
+        for k, v in d.items():
+            setattr(self, k, v)
+
+
+def _is_plateau_leaf(path):
+    return any(str(getattr(p, "key", getattr(p, "name", ""))) ==
+               "plateau_scale" for p in path)
+
+
+def get_plateau_scale(opt_state):
+    out = [None]
+
+    def find(path, leaf):
+        if _is_plateau_leaf(path):
+            out[0] = leaf
+        return leaf
+
+    jax.tree_util.tree_map_with_path(find, opt_state)
+    return out[0]
+
+
+def set_plateau_scale(opt_state, scale):
+    """Rewrite the plateau_scale leaf, preserving its sharding (a plain
+    host array here would change the jit input signature and force a full
+    train-step recompile)."""
+
+    def repl(path, leaf):
+        if _is_plateau_leaf(path):
+            new = jnp.asarray(scale, jnp.float32)
+            if hasattr(leaf, "sharding"):
+                new = jax.device_put(new, leaf.sharding)
+            return new
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(repl, opt_state)
 
 
 def _mask_updates(mask_tree):

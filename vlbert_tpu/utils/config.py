@@ -153,6 +153,9 @@ def _common_config():
     d.MASK_SIZE = 14
     d.QA2R_NOQ = False
     d.QA2R_AUG = False
+    # precomputed bottom-up feature width (the reference hardcodes 2048,
+    # common/fast_rcnn.py:105-109; configurable here for synthetic data)
+    d.PRECOMPUTED_FEAT_DIM = 2048
 
     n = c.NETWORK = AttrDict()
     n.BLIND = False
@@ -284,6 +287,11 @@ def _common_config():
     # base fwd bench: lane padding to 128 dominates at L~85-150), so off by
     # default; available for long-box configs where padding amortizes.
     tp.FUSED_ATTENTION = False
+    # ROIAlign implementation: 'xla' = separable-matmul einsum formulation,
+    # 'pallas' = hand-written gather/bilinear kernel. Measured on v5e at the
+    # bench shape (608px body4, 36 boxes, 14x14): see README "Pallas kernels"
+    # for numbers; xla wins and is the default.
+    tp.ROI_ALIGN_IMPL = "xla"
     return c
 
 
