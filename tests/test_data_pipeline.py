@@ -660,3 +660,83 @@ def test_vqa_imdb_npy_path(tmp_path, tok):
     assert s["boxes"].shape == (nb + 1, 4 + feat_dim)   # +whole-image box
     assert s["label"].argmax() == 1                     # 'red' consensus
     assert len(s["q_ids"]) > 0
+
+
+def test_process_worker_loader_matches_thread_loader(tmp_path, tok):
+    """Fork-pool workers (num_workers>0) must yield the same batches as the
+    thread path for a deterministic dataset, and surface worker errors."""
+    from vlbert_tpu.data.datasets.vcr import VCRDataset, make_vcr_collate
+    from vlbert_tpu.data.loader import DataLoader
+
+    d = _write_vcr_fixture(tmp_path, name="vcrproc")
+    collate = make_vcr_collate(tok, 24, 6, mask_size=(7, 7))
+
+    def batches(num_workers):
+        # fresh dataset per run: VCR's rotating person-name state is
+        # visit-order-dependent (exactly like the reference's per-worker
+        # dataset copies under torch DataLoader)
+        ds = VCRDataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                        tokenizer=tok, task="Q2A", add_image_as_a_box=True,
+                        mask_size=(7, 7), seq_len=32)
+        dl = DataLoader(ds, batch_size=2, collate_fn=collate, shuffle=True,
+                        seed=3, num_workers=num_workers, drop_last=False)
+        try:
+            return list(dl)
+        finally:
+            dl.shutdown()
+
+    thread_b = batches(0)
+    proc_b = batches(2)
+    assert len(thread_b) == len(proc_b) == 1
+    for a, b in zip(thread_b[0], proc_b[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # error propagation from a forked worker
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("worker boom")
+
+    dl = DataLoader(Boom(), batch_size=2, collate_fn=lambda s: s,
+                    shuffle=False, num_workers=2)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="worker boom"):
+            list(dl)
+    finally:
+        dl.shutdown()
+
+
+def test_device_norm_loader_feeds_uint8(tmp_path, tok):
+    """make_dataloader with TPU.DEVICE_IMAGE_NORM (default) ships uint8
+    images; the VCR module forward accepts them via dtype dispatch."""
+    from vlbert_tpu.data.build import make_dataloader
+    from vlbert_tpu.utils.config import default_config
+
+    d = _write_vcr_fixture(tmp_path, name="vcrdevnorm")
+    cfg = default_config("vcr")
+    cfg.DATASET.DATASET = "vcr"
+    cfg.DATASET.TASK = "Q2A"
+    cfg.DATASET.VAL_ANNOTATION_FILE = str(d / "ann.jsonl")
+    cfg.DATASET.VAL_IMAGE_SET = "val"
+    cfg.DATASET.ROOT_PATH = str(tmp_path)
+    cfg.DATASET.DATASET_PATH = str(d)
+    cfg.VAL.BATCH_IMAGES = 1          # x8 virtual devices; padded (val mode)
+    cfg.NUM_WORKERS_PER_GPU = 0
+    cfg.TPU.MAX_TEXT_LEN = 24
+    cfg.TPU.MAX_BOXES = 6
+    cfg.DATASET.MASK_SIZE = 7
+
+    dl = make_dataloader(cfg, "vcr", mode="val", tokenizer=tok,
+                         num_replicas=1, rank=0)
+    batch = next(iter(dl))
+    assert batch[0].dtype == np.uint8            # image on the wire
+    # and the host-normalize knob still produces float32
+    cfg.TPU.DEVICE_IMAGE_NORM = False
+    dl = make_dataloader(cfg, "vcr", mode="val", tokenizer=tok,
+                         num_replicas=1, rank=0)
+    batch = next(iter(dl))
+    assert batch[0].dtype == np.float32

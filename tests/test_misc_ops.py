@@ -114,3 +114,64 @@ def test_coco_captions_builder(tmp_path):
     classes = np.frombuffer(base64.decodebytes(frcnn["classes"].encode()),
                             np.float32).reshape(2, -1)
     assert classes[0, 1] == 1.0 and classes[1, 2] == 1.0  # contiguous remap
+
+
+def test_coco_captions_live_dataset(tmp_path):
+    """Live COCOCaptionsDataset (ref pretrain/data/datasets/coco_captions.py)
+    indexes COCO json directly: one item per image with instance anns,
+    xywh->xyxy TO_REMOVE=1 boxes, one-hot contiguous-remap cls scores."""
+    from PIL import Image
+
+    from vlbert_tpu.data.datasets.coco_captions import COCOCaptionsDataset
+    from vlbert_tpu.data.tokenization import BertTokenizer
+
+    d = tmp_path / "coco"
+    os.makedirs(d / "annotations", exist_ok=True)
+    os.makedirs(d / "val2017", exist_ok=True)
+    Image.fromarray(np.zeros((80, 100, 3), np.uint8)).save(
+        d / "val2017" / "1.jpg")
+    caps = {
+        "images": [{"id": 1, "width": 100, "height": 80,
+                    "file_name": "1.jpg"},
+                   {"id": 2, "width": 50, "height": 50,
+                    "file_name": "2.jpg"}],
+        "annotations": [{"image_id": 1, "caption": "a cat sits there"},
+                        {"image_id": 1, "caption": "second caption"}],
+    }
+    inst = {
+        "categories": [{"id": 12}, {"id": 7}],   # unsorted on purpose
+        "images": caps["images"],
+        "annotations": [
+            {"image_id": 1, "category_id": 7, "bbox": [10, 10, 30, 20],
+             "id": 1},
+            {"image_id": 1, "category_id": 12, "bbox": [50, 5, 20, 40],
+             "id": 2},
+        ],  # image 2 has no instances -> filtered (ref :92-98)
+    }
+    (d / "annotations" / "captions_val2017.json").write_text(json.dumps(caps))
+    (d / "annotations" / "instances_val2017.json").write_text(json.dumps(inst))
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "a", "cat", "sits", "there", "second", "caption"]
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab))
+    tok = BertTokenizer(str(vf))
+
+    ds = COCOCaptionsDataset(
+        ann_file="", image_set="val", root_path=str(tmp_path),
+        data_path=str(d), tokenizer=tok, add_image_as_a_box=True,
+        with_rel_task=False, with_mvrc_task=True, seq_len=32)
+    assert len(ds) == 1                       # image 2 filtered out
+    row = ds.database[0]
+    # xywh -> xyxy with TO_REMOVE=1 (ref :139-142)
+    np.testing.assert_allclose(row["boxes"],
+                               [[10, 10, 39, 29], [50, 5, 69, 44]])
+    # contiguous remap over SORTED ids: 7 -> 1, 12 -> 2 (ref :100-104)
+    assert row["cls_scores"][0, 1] == 1.0 and row["cls_scores"][1, 2] == 1.0
+    assert row["caption"] == "a cat sits there"
+
+    s = ds[0]
+    assert s["boxes"].shape[0] == 3           # image box + 2 instances
+    assert s["image"].shape[2] == 3
+    assert s["mvrc_labels"].shape[1] == 81
+    assert int(s["relationship_label"]) == 1  # rel negatives unsupported

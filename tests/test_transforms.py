@@ -68,3 +68,64 @@ def test_fix_padding_orientation():
         assert s["image"].shape[:2] == want
         assert s["image"][:h, :w].min() == 1.0
         assert s["image"][h:, :].sum() == 0
+
+
+def test_uint8_device_norm_path_matches_host_float_path(rng):
+    """uint8-on-the-wire path (ops/image_norm.py): resize/flip/pad in uint8
+    on the host + on-device BGR255-mean normalize must equal the host
+    Normalize chain exactly, including the zero padding region."""
+    import jax.numpy as jnp
+
+    from vlbert_tpu.ops.image_norm import normalize_uint8_image
+
+    img_u8 = (rng.uniform(size=(60, 80, 3)) * 255).astype(np.uint8)
+    mean = (102.9801, 115.9465, 122.7717)
+    std = (1.0, 1.0, 1.0)
+
+    def run(chain, image):
+        s = {"image": image.copy(), "boxes": np.zeros((1, 4), np.float32),
+             "masks": None, "im_info": np.asarray([80, 60, 1, 1], np.float32),
+             "flipped": False}
+        return Compose(chain)(s)
+
+    host = run([Resize(100, 160), Normalize(mean, std), FixPadding(100, 160)],
+               img_u8)
+    dev = run([Resize(100, 160), FixPadding(100, 160)], img_u8)
+    assert dev["image"].dtype == np.uint8
+    out = np.asarray(normalize_uint8_image(
+        jnp.asarray(dev["image"][None]), jnp.asarray(dev["im_info"][None]),
+        mean, std))
+    np.testing.assert_array_equal(out[0], host["image"])
+    # padded region must be exactly zero (not -mean)
+    assert np.all(out[0, int(host["im_info"][1]):] == 0.0)
+
+
+def test_fast_rcnn_uint8_dispatch_matches_float(rng):
+    """FastRCNN forward on a uint8 batch == forward on the equivalent
+    host-normalized float batch (dtype is the dispatch signal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlbert_tpu.models.fast_rcnn import FastRCNN
+    from vlbert_tpu.ops.image_norm import normalize_uint8_image
+
+    mean = (102.9801, 115.9465, 122.7717)
+    img_u8 = (rng.uniform(size=(1, 32, 48, 3)) * 255).astype(np.uint8)
+    im_info = np.asarray([[40, 28, 1, 1]], np.float32)  # valid 28x40 region
+    img_f32 = np.asarray(normalize_uint8_image(
+        jnp.asarray(img_u8), jnp.asarray(im_info), mean, (1.0, 1.0, 1.0)))
+    boxes = np.asarray([[[2.0, 2.0, 30.0, 20.0], [5.0, 4.0, 38.0, 26.0]]],
+                       np.float32)
+    box_mask = np.ones((1, 2), bool)
+
+    m = FastRCNN(num_layers=18, final_dim=32, frozen_stages=(),
+                 pixel_means=mean, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(img_f32),
+                    jnp.asarray(boxes), jnp.asarray(box_mask),
+                    jnp.asarray(im_info))
+    out_f = m.apply(params, jnp.asarray(img_f32), jnp.asarray(boxes),
+                    jnp.asarray(box_mask), jnp.asarray(im_info))
+    out_u = m.apply(params, jnp.asarray(img_u8), jnp.asarray(boxes),
+                    jnp.asarray(box_mask), jnp.asarray(im_info))
+    np.testing.assert_allclose(np.asarray(out_u["obj_reps"]),
+                               np.asarray(out_f["obj_reps"]), atol=1e-6)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
+from vlbert_tpu.data.datasets.coco_captions import COCOCaptionsDataset
 from vlbert_tpu.data.datasets.conceptual_captions import (
     ConceptualCaptionsDataset, GeneralCorpusDataset, make_corpus_collate,
     make_pretrain_collate)
@@ -22,7 +23,7 @@ from vlbert_tpu.data.transforms import build_transforms
 
 DATASET_CATALOG = {
     "conceptual_captions": ConceptualCaptionsDataset,
-    "coco_captions": ConceptualCaptionsDataset,  # same row format here
+    "coco_captions": COCOCaptionsDataset,  # live COCO json index
     "general_corpus": GeneralCorpusDataset,
     "vcr": VCRDataset,
     "vqa": VQADataset,
@@ -59,10 +60,18 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
 
     tokenizer = tokenizer or BertTokenizer.from_pretrained(
         cfg.NETWORK.BERT_MODEL_NAME)
-    transform = build_transforms(cfg, mode)
-    test_mode = mode == "test"
-
     name = d.DATASET
+    # uint8-on-the-wire path (ops/image_norm.py). The CC/COCO pretrain
+    # datasets zero masked-RoI pixels in NORMALIZED space (ref
+    # conceptual_captions.py:201-206), which uint8 can't express — they
+    # keep host normalization when that path is active.
+    device_norm = (cfg.TPU.get("DEVICE_IMAGE_NORM", True)
+                   and not cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED)
+    if name in ("conceptual_captions", "coco_captions") \
+            and cfg.NETWORK.MASK_RAW_PIXELS:
+        device_norm = False
+    transform = build_transforms(cfg, mode, device_norm=device_norm)
+    test_mode = mode == "test"
     ds_cls = DATASET_CATALOG[name]
     common = dict(
         ann_file=ann_file, image_set=image_set, root_path=d.ROOT_PATH,
@@ -124,15 +133,19 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
     else:
         raise ValueError(f"unknown dataset {name!r}")
 
+    n_workers = cfg.NUM_WORKERS_PER_GPU * jax.local_device_count()
+    use_procs = cfg.TPU.get("PROCESS_WORKERS", True) and n_workers > 0
     return DataLoader(ds, batch_images, collate,
                       shuffle=shuffle and mode == "train",
                       num_replicas=num_replicas, rank=rank,
                       seed=max(cfg.RNG_SEED, 0),
                       drop_last=(mode == "train"),
                       prefetch=cfg.TPU.get("PREFETCH_DEPTH", 2),
-                      num_threads=max(
-                          cfg.NUM_WORKERS_PER_GPU * jax.local_device_count(),
-                          1))
+                      num_threads=max(n_workers, 1),
+                      # fork-pool workers (reference: torch DataLoader
+                      # NUM_WORKERS_PER_GPU processes); GIL-bound threads
+                      # don't scale on this path — see data/loader.py
+                      num_workers=n_workers if use_procs else 0)
 
 
 def make_multitask_dataloader(cfg, task, mode="train", tokenizer=None):

@@ -60,13 +60,17 @@ class ConceptualCaptionsDataset:
         self.tokenizer = tokenizer
         self.rng = np.random.default_rng(seed)
 
-        self.database = load_jsonl(self.ann_file)
+        self.database = self.load_annotations()
+
+    def load_annotations(self):
+        database = load_jsonl(self.ann_file)
         if not self.zip_mode:
-            for i, idb in enumerate(self.database):
-                self.database[i]["frcnn"] = (
+            for i, idb in enumerate(database):
+                database[i]["frcnn"] = (
                     idb["frcnn"].replace(".zip@", "").replace(".0", "")
                     .replace(".1", "").replace(".2", "").replace(".3", ""))
-                self.database[i]["image"] = idb["image"].replace(".zip@", "")
+                database[i]["image"] = idb["image"].replace(".zip@", "")
+        return database
 
     data_names = ["image", "boxes", "im_info", "text",
                   "relationship_label", "mlm_labels", "mvrc_ops", "mvrc_labels"]
@@ -82,8 +86,11 @@ class ConceptualCaptionsDataset:
         with open(path) as f:
             return json.load(f)
 
-    def __getitem__(self, index):
-        idb = self.database[index]
+    def _load_regions(self, idb):
+        """Per-item region source (seam for subclasses, e.g. the live
+        COCOCaptionsDataset). Returns (boxes [K, 4], cls_scores [K, C],
+        extra) where extra carries image_w/image_h/features for the
+        precomputed & image-fallback paths (None entries if unavailable)."""
         frcnn = self._load_json(os.path.join(self.data_path, idb["frcnn"]))
         boxes = np.frombuffer(b64_decode(frcnn["boxes"]), np.float32) \
             .reshape((frcnn["num_boxes"], -1)).copy()
@@ -92,20 +99,32 @@ class ConceptualCaptionsDataset:
         order = np.argsort(cls_scores.max(axis=1))[::-1]      # ref :108-111
         boxes = boxes[order]
         cls_scores = cls_scores[order]
+        feats = None
+        if self.with_precomputed_visual_feat:
+            feats = np.frombuffer(b64_decode(frcnn["features"]), np.float32) \
+                .reshape((frcnn["num_boxes"], -1))[order].copy()
+        return boxes, cls_scores, {"image_w": frcnn["image_w"],
+                                   "image_h": frcnn["image_h"],
+                                   "features": feats}
+
+    def __getitem__(self, index):
+        idb = self.database[index]
+        boxes, cls_scores, extra = self._load_regions(idb)
 
         feats = None
         if self.with_precomputed_visual_feat:
             image = None
-            w0, h0 = frcnn["image_w"], frcnn["image_h"]
-            feats = np.frombuffer(b64_decode(frcnn["features"]), np.float32) \
-                .reshape((frcnn["num_boxes"], -1))[order].copy()
+            w0, h0 = extra["image_w"], extra["image_h"]
+            feats = extra["features"]
         else:
             try:
                 image = read_image(os.path.join(self.data_path, idb["image"]))
                 h0, w0 = image.shape[:2]
             except Exception:
+                if extra["image_w"] is None:                   # live COCO:
+                    raise                                      # ref coco :176
                 image = None                                   # ref :122-128
-                w0, h0 = frcnn["image_w"], frcnn["image_h"]
+                w0, h0 = extra["image_w"], extra["image_h"]
 
         if self.add_image_as_a_box:                            # ref :130-135
             boxes = np.concatenate(

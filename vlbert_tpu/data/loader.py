@@ -12,10 +12,40 @@ ref:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 
 import numpy as np
+
+# --- process-worker plumbing (fork start method: the dataset + collate are
+# shipped ONCE per worker via the pool initializer, not per task) -----------
+
+_WORKER_DS = None
+_WORKER_COLLATE = None
+
+
+def _reseed(obj, seed):
+    """Give forked workers independent augmentation RNG streams: any
+    ``rng`` attribute on the dataset or its transform chain (flip RNG,
+    masking RNG) is re-created from the worker seed."""
+    if hasattr(obj, "rng"):
+        obj.rng = np.random.default_rng(seed)
+    for t in getattr(getattr(obj, "transform", None), "transforms", []):
+        if hasattr(t, "rng"):
+            t.rng = np.random.default_rng(seed + 1)
+
+
+def _worker_init(ds, collate, base_seed):
+    global _WORKER_DS, _WORKER_COLLATE
+    _WORKER_DS = ds
+    _WORKER_COLLATE = collate
+    _reseed(ds, base_seed + os.getpid())
+
+
+def _worker_batch(batch_idx):
+    samples = [_WORKER_DS[int(i)] for i in batch_idx]
+    return _WORKER_COLLATE(samples)
 
 
 class ShardedSampler:
@@ -53,11 +83,20 @@ class DataLoader:
 
     dataset: object with __len__ and __getitem__(i) -> dict of fixed-shape
     numpy arrays. collate: dict-list -> batch tuple (task-specific).
+
+    Parallelism: ``num_workers > 0`` forks a persistent process pool (one
+    whole batch per task, collated in the worker — the master only
+    deserializes the finished batch). The GIL makes threads scale poorly on
+    this decode/tokenize-heavy path (measured ~1.5x at 8 threads vs ~linear
+    for processes, bench_host.py); the reference gets the same effect from
+    torch DataLoader worker processes (NUM_WORKERS_PER_GPU). ``num_workers
+    = 0`` falls back to the thread pool (deterministic augmentation order,
+    used by tests).
     """
 
     def __init__(self, dataset, batch_size, collate_fn, shuffle=True,
                  num_replicas=1, rank=0, seed=0, drop_last=True,
-                 prefetch=2, num_threads=4):
+                 prefetch=2, num_threads=4, num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -66,9 +105,29 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_threads = num_threads
+        self.num_workers = num_workers
+        self.seed = seed
+        self._pool = None
 
     def set_epoch(self, epoch):
         self.sampler.set_epoch(epoch)
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ProcessPoolExecutor
+            import multiprocessing as mp
+
+            self._pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("fork"),
+                initializer=_worker_init,
+                initargs=(self.dataset, self.collate_fn, self.seed))
+        return self._pool
+
+    def shutdown(self):
+        """Terminate the worker pool (kept alive across epochs otherwise)."""
+        if self._pool is not None:
+            self._pool.shutdown(cancel_futures=True)
+            self._pool = None
 
     def __len__(self):
         n = self.sampler.num_samples
@@ -89,6 +148,9 @@ class DataLoader:
             yield idx[b * self.batch_size:(b + 1) * self.batch_size]
 
     def __iter__(self):
+        if self.num_workers > 0:
+            yield from self._iter_processes()
+            return
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -115,6 +177,25 @@ class DataLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def _iter_processes(self):
+        """Ordered sliding window of in-flight batch futures over the
+        persistent fork pool; each worker builds + collates a whole batch."""
+        pool = self._ensure_pool()
+        window = max(self.prefetch, self.num_workers)
+        pending = []
+        batches = self._batches()
+        try:
+            for batch_idx in batches:
+                pending.append(pool.submit(_worker_batch, list(batch_idx)))
+                if len(pending) >= window:
+                    yield pending.pop(0).result()
+            while pending:
+                yield pending.pop(0).result()
+        except BaseException:
+            for f in pending:
+                f.cancel()
+            raise
 
 
 class MultiTaskLoader:

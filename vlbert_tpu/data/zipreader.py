@@ -31,17 +31,23 @@ class ZipReader:
 
     @classmethod
     def imread(cls, path):
-        """Returns float32 RGB [H, W, 3] in [0, 1]."""
+        """Returns uint8 RGB [H, W, 3].
+
+        uint8 is kept through decode/resize/flip; Normalize produces the
+        float32 BGR255-minus-mean values in one pass (numerically identical
+        to the reference's ToTensor(/255) -> Normalize(*255) round trip,
+        common/.../transforms.py:82-97, at a quarter of the memory traffic).
+        """
         from PIL import Image
         import numpy as np
 
         data = cls.read(path)
         img = Image.open(io.BytesIO(data)).convert("RGB")
-        return np.asarray(img, np.float32) / 255.0
+        return np.asarray(img, np.uint8)
 
 
 def read_image(path):
-    """Read an image from a plain path or zip@/inner path."""
+    """Read an image (uint8 RGB) from a plain path or zip@/inner path."""
     import numpy as np
 
     if "@" in path:
@@ -49,4 +55,4 @@ def read_image(path):
     from PIL import Image
 
     with Image.open(path) as img:
-        return np.asarray(img.convert("RGB"), np.float32) / 255.0
+        return np.asarray(img.convert("RGB"), np.uint8)

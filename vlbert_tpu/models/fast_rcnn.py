@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from vlbert_tpu.models.resnet import ResNetC4Backbone, ResNetRoIHead
 from vlbert_tpu.ops.coord_embed import coordinate_embeddings
+from vlbert_tpu.ops.image_norm import normalize_uint8_image
 from vlbert_tpu.ops.roi_align import roi_align
 
 
@@ -44,6 +45,10 @@ class FastRCNN(nn.Module):
     image_semantic: bool = False  # 81-way class embedding (ref :31-34,68-71)
     roi_chunk: Optional[int] = None  # chunk ROIAlign intermediates
     roi_align_impl: str = "xla"      # 'xla' (einsum) | 'pallas' (kernel)
+    # BGR caffe pixel stats for the on-device uint8 normalization path
+    # (host ships uint8; see ops/image_norm.py)
+    pixel_means: Sequence[float] = (102.9801, 115.9465, 122.7717)
+    pixel_stds: Sequence[float] = (1.0, 1.0, 1.0)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -65,6 +70,14 @@ class FastRCNN(nn.Module):
         """
         B, O = box_mask.shape
         maskf = box_mask.astype(jnp.float32)
+
+        if images is not None and images.dtype == jnp.uint8:
+            # uint8-on-the-wire input path: normalize on device (fused into
+            # the first conv by XLA); dtype is the dispatch signal, so the
+            # float path (and every parity test feeding pre-normalized
+            # images) is untouched
+            images = normalize_uint8_image(
+                images, im_info, self.pixel_means, self.pixel_stds)
 
         if self.image_feat_precomputed:
             post_roialign = boxes[:, :, 4:]          # ref :141

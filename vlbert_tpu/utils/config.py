@@ -268,6 +268,14 @@ def _common_config():
     tp.MAX_BOXES = 108           # static box bucket (incl. whole-image box)
     tp.IMAGE_SIZE = []           # [] = derive (max canvas) from SCALES
     tp.PREFETCH_DEPTH = 2
+    # ship uint8 images to the device and fuse the BGR255-mean normalize
+    # into the jitted step (4x less host traffic + H2D; ops/image_norm.py);
+    # auto-disabled where pixels are mutated in normalized space (CC
+    # MASK_RAW_PIXELS)
+    tp.DEVICE_IMAGE_NORM = True
+    # fork-pool dataset workers (one collated batch per task); 0 threads
+    # fallback is selected by PROCESS_WORKERS=False or NUM_WORKERS_PER_GPU=0
+    tp.PROCESS_WORKERS = True
     tp.REMAT = False             # jax.checkpoint over encoder layers
     # 'rbg' halves dropout cost vs threefry on TPU (dropout RNG measured ~2x
     # encoder fwd time); 'threefry2x32' for cross-platform reproducibility
