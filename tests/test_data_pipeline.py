@@ -740,3 +740,41 @@ def test_device_norm_loader_feeds_uint8(tmp_path, tok):
                          num_replicas=1, rank=0)
     batch = next(iter(dl))
     assert batch[0].dtype == np.float32
+
+
+def test_aspect_grouping_wired_through_loader():
+    """TRAIN.ASPECT_GROUPING: batches come from GroupedBatchSampler when the
+    dataset exposes group_ids; without them it fails loudly like the
+    reference's assert (vcr.py:114-116)."""
+    import pytest as _pytest
+
+    from vlbert_tpu.data.loader import DataLoader
+
+    class DS:
+        group_ids = [0, 1, 0, 1, 0, 1, 0, 1]
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"i": np.int32(i)}
+
+    collate = lambda s: tuple(x["i"] for x in s)
+    dl = DataLoader(DS(), batch_size=2, collate_fn=collate, shuffle=False,
+                    aspect_grouping=True)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 4
+    for b in batches:
+        gids = {DS.group_ids[int(i)] for i in b}
+        assert len(gids) == 1                 # homogeneous groups
+
+    class NoGroups:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {}
+
+    with _pytest.raises(NotImplementedError):
+        DataLoader(NoGroups(), batch_size=2, collate_fn=collate,
+                   aspect_grouping=True)

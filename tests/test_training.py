@@ -393,3 +393,60 @@ def test_best_val_named_metric_and_restore(tmp_path, monkeypatch):
     train_net(args, cfg, "vqa")
     best2 = open(os.path.join(out_dir, "tiny-best.model"), "rb").read()
     assert best2 == ep0
+
+
+def test_fp16_static_loss_scale_parity(rng):
+    """TRAIN.FP16 + TPU.FP16_PARITY_MODE: loss is scaled by the static
+    FP16_LOSS_SCALE before backward and grads/loss unscaled after (ref Apex
+    AMP O2 fixed scale, vcr/function/train.py:322-328). With fp32 params the
+    scaled step must match the unscaled step exactly up to fp rounding."""
+    cfg, m, batch = _tiny_vqa_setup(rng)
+    state0, tx, _ = create_train_state(m, batch, cfg, steps_per_epoch=10)
+
+    step_plain = make_train_step(m, tx, "vqa", cfg, grad_accum=1)
+    cfg2 = cfg.clone() if hasattr(cfg, "clone") else cfg
+    cfg2.TRAIN.FP16 = True
+    cfg2.TPU.FP16_PARITY_MODE = True
+    cfg2.TRAIN.FP16_LOSS_SCALE = 128.0
+    step_scaled = make_train_step(m, tx, "vqa", cfg2, grad_accum=1)
+
+    key = jax.random.PRNGKey(7)
+    s1, l1, _ = jax.jit(step_plain)(state0, batch, key)
+    s2, l2, _ = jax.jit(step_scaled)(state0, batch, key)
+    # reported loss is UNSCALED
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    # parameter updates match (scale cancels exactly in fp32)
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=1e-7)
+
+
+def test_train_fp16_flag_selects_dtype(tmp_path):
+    """engine.train dtype policy: TRAIN.FP16 -> bf16 on TPU by default,
+    float16 under TPU.FP16_PARITY_MODE."""
+    import jax.numpy as jnp
+
+    from vlbert_tpu.utils.config import default_config
+
+    def resolve(cfg):
+        dtype_name = cfg.TPU.COMPUTE_DTYPE
+        if cfg.TRAIN.FP16:
+            if cfg.TPU.get("FP16_PARITY_MODE", False):
+                dtype_name = "float16"
+            elif dtype_name != "bfloat16":
+                dtype_name = "bfloat16"
+        return {"bfloat16": jnp.bfloat16,
+                "float16": jnp.float16}.get(dtype_name, jnp.float32)
+
+    cfg = default_config("vcr")
+    cfg.TRAIN.FP16 = True
+    assert resolve(cfg) == jnp.bfloat16
+    cfg.TPU.FP16_PARITY_MODE = True
+    assert resolve(cfg) == jnp.float16
+    cfg.TRAIN.FP16 = False
+    cfg.TPU.FP16_PARITY_MODE = False
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    assert resolve(cfg) == jnp.float32

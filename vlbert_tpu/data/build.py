@@ -145,7 +145,9 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
                       # fork-pool workers (reference: torch DataLoader
                       # NUM_WORKERS_PER_GPU processes); GIL-bound threads
                       # don't scale on this path — see data/loader.py
-                      num_workers=n_workers if use_procs else 0)
+                      num_workers=n_workers if use_procs else 0,
+                      aspect_grouping=(mode == "train"
+                                       and cfg.TRAIN.ASPECT_GROUPING))
 
 
 def make_multitask_dataloader(cfg, task, mode="train", tokenizer=None):

@@ -119,6 +119,14 @@ class RefCOCODataset:
             for p in proposal_list:
                 self.proposals.setdefault(p["image_id"], []).append(p["box"])
 
+    @property
+    def group_ids(self):
+        """Aspect groups for TRAIN.ASPECT_GROUPING (ref refcoco.py:305-318:
+        horizontal w >= h -> 0, vertical -> 1). RefCOCO is the one task the
+        reference ships with grouping ON (cfgs/refcoco/*.yaml)."""
+        return np.asarray([0 if idb["width"] >= idb["height"] else 1
+                           for idb in self.database], np.int32)
+
     def __len__(self):
         return len(self.database)
 

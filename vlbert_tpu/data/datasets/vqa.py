@@ -139,6 +139,17 @@ class VQADataset:
     def __len__(self):
         return len(self.database)
 
+    @property
+    def group_ids(self):
+        """Aspect groups for TRAIN.ASPECT_GROUPING (ref vqa.py:413-426:
+        horizontal w >= h -> 0, vertical -> 1); imdb rows without dims
+        default to horizontal."""
+        import numpy as np
+
+        return np.asarray(
+            [0 if idb.get("width", 1) >= idb.get("height", 0) else 1
+             for idb in self.database], np.int32)
+
     def _load_json(self, path):
         if ".zip@" in path:
             return json.loads(ZipReader.read(path).decode())

@@ -96,7 +96,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, collate_fn, shuffle=True,
                  num_replicas=1, rank=0, seed=0, drop_last=True,
-                 prefetch=2, num_threads=4, num_workers=0):
+                 prefetch=2, num_threads=4, num_workers=0,
+                 aspect_grouping=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -108,6 +109,17 @@ class DataLoader:
         self.num_workers = num_workers
         self.seed = seed
         self._pool = None
+        # TRAIN.ASPECT_GROUPING (ref build.py + grouped_batch_sampler.py):
+        # batch within aspect groups; needs dataset-provided group ids (the
+        # reference's datasets assert False on grouping — dormant there too)
+        self.group_ids = None
+        if aspect_grouping:
+            if not hasattr(dataset, "group_ids"):
+                raise NotImplementedError(
+                    "TRAIN.ASPECT_GROUPING requires the dataset to expose "
+                    "group_ids (reference datasets assert on it too, e.g. "
+                    "vcr/data/datasets/vcr.py:114-116)")
+            self.group_ids = np.asarray(dataset.group_ids)
 
     def set_epoch(self, epoch):
         self.sampler.set_epoch(epoch)
@@ -130,12 +142,21 @@ class DataLoader:
             self._pool = None
 
     def __len__(self):
+        if self.group_ids is not None:
+            return len(GroupedBatchSampler(
+                self.sampler.indices(), self.group_ids, self.batch_size,
+                drop_uneven=self.drop_last))
         n = self.sampler.num_samples
         return n // self.batch_size if self.drop_last \
             else -(-n // self.batch_size)
 
     def _batches(self):
         idx = self.sampler.indices()
+        if self.group_ids is not None:
+            yield from GroupedBatchSampler(
+                idx, self.group_ids, self.batch_size,
+                drop_uneven=self.drop_last)
+            return
         if not self.drop_last and len(idx) % self.batch_size:
             # pad by wrapping so every batch is full (static shapes); the
             # reference's DistributedSampler pads to divisibility the same

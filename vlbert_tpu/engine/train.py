@@ -71,7 +71,22 @@ def train_net(args, config, task):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     tokenizer = BertTokenizer.from_pretrained(config.NETWORK.BERT_MODEL_NAME)
-    dtype = jnp.bfloat16 if config.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    # TRAIN.FP16 (reference: Apex AMP O2 + fixed loss scale 128,
+    # vcr/function/train.py:322-328): the TPU-native equivalent is bf16 (no
+    # loss scaling needed); TPU.FP16_PARITY_MODE opts into true fp16 compute
+    # with the reference's static loss scale for parity experiments
+    dtype_name = config.TPU.COMPUTE_DTYPE
+    if config.TRAIN.FP16:
+        if config.TPU.get("FP16_PARITY_MODE", False):
+            dtype_name = "float16"
+        elif dtype_name != "bfloat16":
+            dtype_name = "bfloat16"
+        if dtype_name == "bfloat16":
+            logger.info("TRAIN.FP16 -> bf16 compute on TPU (no loss scale "
+                        "needed); set TPU.FP16_PARITY_MODE for true fp16 + "
+                        "static loss scale %s", config.TRAIN.FP16_LOSS_SCALE)
+    dtype = {"bfloat16": jnp.bfloat16,
+             "float16": jnp.float16}.get(dtype_name, jnp.float32)
     model = build_module(config, task, dtype=dtype, remat=config.TPU.REMAT)
 
     if task == "pretrain" and isinstance(config.DATASET, list):

@@ -62,15 +62,29 @@ def make_train_step(model, tx, task, config, grad_accum=1):
 
     batch: tuple of arrays; with grad_accum > 1 each array is
     [accum, micro_batch, ...] and a lax.scan averages gradients.
+
+    fp16 parity mode (TRAIN.FP16 + TPU.FP16_PARITY_MODE): the loss is
+    multiplied by the reference's STATIC loss scale before the backward and
+    gradients (and the reported loss) are unscaled after — matching Apex
+    AMP O2 with fixed loss_scale=128 (ref vcr/function/train.py:322-328).
+    bf16 (the TPU default for TRAIN.FP16) needs no scaling.
     """
+    loss_scale = 1.0
+    if config.TRAIN.FP16 and config.TPU.get("FP16_PARITY_MODE", False):
+        loss_scale = float(config.TRAIN.FP16_LOSS_SCALE)
 
     def one_micro(params, batch, rng):
         def lf(p):
             outputs, loss = model.apply(p, *batch, train=True,
                                         rngs={"dropout": rng})
-            return loss, metrics_lib.device_metrics(task, config, outputs)
+            return loss * loss_scale, \
+                metrics_lib.device_metrics(task, config, outputs)
 
         (loss, dm), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        if loss_scale != 1.0:
+            inv = 1.0 / loss_scale
+            loss = loss * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         return loss, grads, dm
 
     def train_step(state, batch, rng):
@@ -103,13 +117,7 @@ def make_train_step(model, tx, task, config, grad_accum=1):
             loss = loss_sum / grad_accum
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
         else:
-            def lf(p):
-                outputs, loss = model.apply(p, *batch, train=True,
-                                            rngs={"dropout": rng})
-                dm = metrics_lib.device_metrics(task, config, outputs)
-                return loss, dm
-
-            (loss, dm), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            loss, grads, dm = one_micro(params, batch, rng)
 
         updates, new_opt = tx.update(grads["params"], state.opt_state,
                                      params["params"])

@@ -225,7 +225,11 @@ def _common_config():
     t.SHUFFLE = True
     t.FLIP_PROB = 0.5
     t.BATCH_IMAGES = 1
-    t.ASPECT_GROUPING = True
+    # default False (reference default tree says True, but its VCR/CC
+    # datasets assert/KeyError when grouping is actually requested, and all
+    # 16 shipped YAMLs set it explicitly); RefCOCO/VQA honor it via
+    # dataset group_ids + GroupedBatchSampler
+    t.ASPECT_GROUPING = False
     t.RESUME = False
     t.AUTO_RESUME = True
     t.BEGIN_EPOCH = 0
@@ -276,6 +280,9 @@ def _common_config():
     # fork-pool dataset workers (one collated batch per task); 0 threads
     # fallback is selected by PROCESS_WORKERS=False or NUM_WORKERS_PER_GPU=0
     tp.PROCESS_WORKERS = True
+    # true fp16 compute + the reference's static loss scale for TRAIN.FP16
+    # configs (parity experiments); default maps TRAIN.FP16 to bf16
+    tp.FP16_PARITY_MODE = False
     tp.REMAT = False             # jax.checkpoint over encoder layers
     # 'rbg' halves dropout cost vs threefry on TPU (dropout RNG measured ~2x
     # encoder fwd time); 'threefry2x32' for cross-platform reproducibility
