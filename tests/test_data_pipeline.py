@@ -778,3 +778,69 @@ def test_aspect_grouping_wired_through_loader():
     with _pytest.raises(NotImplementedError):
         DataLoader(NoGroups(), batch_size=2, collate_fn=collate,
                    aspect_grouping=True)
+
+
+class _PickOKDataset:
+    """Module-level (hence picklable) tiny dataset for the pool test."""
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        return {"text": np.arange(3, dtype=np.int32),
+                "mlm_labels": np.full(3, -1, np.int32)}
+
+
+def test_collates_pickle_and_pool_prefers_forkserver(tmp_path, tok):
+    """All public collate factories return picklable objects (so the worker
+    pool can use the forkserver start method — workers exec'd fresh instead
+    of forking the JAX-threaded parent), and the pool picks forkserver for
+    picklable dataset/collate pairs, fork otherwise."""
+    import pickle
+
+    from vlbert_tpu.data.collate import PicklableCollate
+    from vlbert_tpu.data.datasets.conceptual_captions import (
+        make_corpus_collate, make_pretrain_collate)
+    from vlbert_tpu.data.datasets.refcoco import make_refcoco_collate
+    from vlbert_tpu.data.datasets.vcr import make_vcr_collate
+    from vlbert_tpu.data.datasets.vqa import make_vqa_collate
+    from vlbert_tpu.data.loader import DataLoader
+
+    for c in (make_vcr_collate(tok, 24, 6, mask_size=(7, 7)),
+              make_vqa_collate(tok, 24, 6, precomputed_dim=8),
+              make_refcoco_collate(tok, 24, 6),
+              make_pretrain_collate(24, 6, 10),
+              make_corpus_collate(24)):
+        assert isinstance(c, PicklableCollate)
+        c2 = pickle.loads(pickle.dumps(c))
+        assert isinstance(c2, PicklableCollate)
+
+    # round-trip functional equality for one of them
+    c = make_corpus_collate(8)
+    c2 = pickle.loads(pickle.dumps(c))
+    s = [{"text": np.arange(5, dtype=np.int32),
+          "mlm_labels": np.full(5, -1, np.int32)}]
+    for a, b in zip(c(s), c2(s)):
+        np.testing.assert_array_equal(a, b)
+
+    dl = DataLoader(_PickOKDataset(), batch_size=2,
+                    collate_fn=make_corpus_collate(8),
+                    shuffle=False, num_workers=1)
+    try:
+        pool = dl._ensure_pool()
+        assert "forkserver" in type(pool._mp_context).__name__.lower() or \
+            "ForkServer" in type(pool._mp_context).__name__
+        batches = list(dl)
+        assert len(batches) == 2
+    finally:
+        dl.shutdown()
+
+    unpicklable = lambda s: s   # noqa: E731 — lambdas don't pickle
+    dl2 = DataLoader(_PickOKDataset(), batch_size=2, collate_fn=unpicklable,
+                     shuffle=False, num_workers=1)
+    try:
+        pool2 = dl2._ensure_pool()
+        assert "Fork" in type(pool2._mp_context).__name__
+        assert "Server" not in type(pool2._mp_context).__name__
+    finally:
+        dl2.shutdown()

@@ -18,6 +18,32 @@ from __future__ import annotations
 import numpy as np
 
 
+class PicklableCollate:
+    """Picklable wrapper over a closure-returning collate factory.
+
+    The ``make_*_collate`` factories close over their arguments, which
+    blocks pickling — and pickling is what lets the worker pool use the
+    ``forkserver`` start method (workers exec'd fresh instead of forking a
+    JAX-threaded parent; see data/loader.py). Pickles as
+    (factory, args, kwargs) and rebuilds the closure on load.
+    """
+
+    def __init__(self, factory, *args, **kwargs):
+        self._spec = (factory, args, kwargs)
+        self._fn = factory(*args, **kwargs)
+
+    def __call__(self, samples):
+        return self._fn(samples)
+
+    def __getstate__(self):
+        return self._spec
+
+    def __setstate__(self, spec):
+        self._spec = spec
+        factory, args, kwargs = spec
+        self._fn = factory(*args, **kwargs)
+
+
 def pad_to(arr, shape, pad_value=0, dtype=None):
     """Pad/clip ``arr`` into a fixed-shape buffer."""
     arr = np.asarray(arr)

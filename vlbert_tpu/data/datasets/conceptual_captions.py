@@ -24,7 +24,7 @@ import random
 
 import numpy as np
 
-from vlbert_tpu.data.collate import pad_to, stack_batch
+from vlbert_tpu.data.collate import PicklableCollate, pad_to, stack_batch
 from vlbert_tpu.data.masking import (random_mask_region, random_word_wwm,
                                      truncate_seq_and_boxes)
 from vlbert_tpu.data.zipreader import read_image
@@ -255,7 +255,7 @@ class GeneralCorpusDataset:
                 "mlm_labels": np.asarray(labels, np.int32)}
 
 
-def make_pretrain_collate(max_text, max_boxes, num_classes, image_size=None,
+def _make_pretrain_collate_impl(max_text, max_boxes, num_classes, image_size=None,
                           precomputed_dim=0):
     """Pad to static buckets; box pad value -2 (validity boxes[...,0] > -1.5,
     ref pretrain module :126)."""
@@ -287,7 +287,12 @@ def make_pretrain_collate(max_text, max_boxes, num_classes, image_size=None,
     return collate
 
 
-def make_corpus_collate(max_text):
+
+def make_pretrain_collate(*args, **kwargs):
+    """Picklable collate (forkserver workers): see collate.PicklableCollate."""
+    return PicklableCollate(_make_pretrain_collate_impl, *args, **kwargs)
+
+def _make_corpus_collate_impl(max_text):
     def collate(samples):
         texts = np.stack([pad_to(s["text"], (max_text,), 0, np.int32)
                           for s in samples])
@@ -296,3 +301,8 @@ def make_corpus_collate(max_text):
         return (texts, labels)
 
     return collate
+
+
+def make_corpus_collate(*args, **kwargs):
+    """Picklable collate (forkserver workers): see collate.PicklableCollate."""
+    return PicklableCollate(_make_corpus_collate_impl, *args, **kwargs)

@@ -23,7 +23,7 @@ import pickle
 
 import numpy as np
 
-from vlbert_tpu.data.collate import assemble_expression_text, pad_to, stack_batch
+from vlbert_tpu.data.collate import PicklableCollate, assemble_expression_text, pad_to, stack_batch
 from vlbert_tpu.data.zipreader import read_image
 
 
@@ -210,7 +210,7 @@ class RefCOCODataset:
         return out
 
 
-def make_refcoco_collate(tokenizer, max_text, max_boxes, test_mode=False):
+def _make_refcoco_collate_impl(tokenizer, max_text, max_boxes, test_mode=False):
     cls_id, sep_id = tokenizer.cls_id, tokenizer.sep_id
 
     def collate(samples):
@@ -237,3 +237,8 @@ def make_refcoco_collate(tokenizer, max_text, max_boxes, test_mode=False):
         return out
 
     return collate
+
+
+def make_refcoco_collate(*args, **kwargs):
+    """Picklable collate (forkserver workers): see collate.PicklableCollate."""
+    return PicklableCollate(_make_refcoco_collate_impl, *args, **kwargs)

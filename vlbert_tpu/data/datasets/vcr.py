@@ -31,7 +31,7 @@ from copy import deepcopy
 
 import numpy as np
 
-from vlbert_tpu.data.collate import assemble_qa_text, pad_to, stack_batch
+from vlbert_tpu.data.collate import PicklableCollate, assemble_qa_text, pad_to, stack_batch
 from vlbert_tpu.data.zipreader import ZipReader, read_image
 from vlbert_tpu.utils.mask import generate_instance_mask
 
@@ -323,7 +323,7 @@ class VCRDataset:
         return out
 
 
-def make_vcr_collate(tokenizer, max_text, max_boxes, mask_size=(14, 14),
+def _make_vcr_collate_impl(tokenizer, max_text, max_boxes, mask_size=(14, 14),
                      answer_first=False, one_sent=False, test_mode=False,
                      task="Q2A"):
     """Collate to the ResNetVLBERTForVCR batch tuple with static shapes.
@@ -409,3 +409,8 @@ def make_vcr_collate(tokenizer, max_text, max_boxes, mask_size=(14, 14),
         return out
 
     return collate
+
+
+def make_vcr_collate(*args, **kwargs):
+    """Picklable collate (forkserver workers): see collate.PicklableCollate."""
+    return PicklableCollate(_make_vcr_collate_impl, *args, **kwargs)

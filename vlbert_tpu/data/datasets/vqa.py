@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-from vlbert_tpu.data.collate import assemble_qa_text, pad_to, stack_batch
+from vlbert_tpu.data.collate import PicklableCollate, assemble_qa_text, pad_to, stack_batch
 from vlbert_tpu.data.zipreader import ZipReader, read_image
 
 
@@ -254,7 +254,7 @@ class VQADataset:
         return out
 
 
-def make_vqa_collate(tokenizer, max_text, max_boxes, precomputed_dim=2048,
+def _make_vqa_collate_impl(tokenizer, max_text, max_boxes, precomputed_dim=2048,
                      test_mode=False):
     """[CLS] Q [SEP] [MASK] [SEP]; ans_pos = index of [MASK]
     (ref module :196-209 + prepare_text_from_qa :141-167)."""
@@ -291,3 +291,8 @@ def make_vqa_collate(tokenizer, max_text, max_boxes, precomputed_dim=2048,
         return out
 
     return collate
+
+
+def make_vqa_collate(*args, **kwargs):
+    """Picklable collate (forkserver workers): see collate.PicklableCollate."""
+    return PicklableCollate(_make_vqa_collate_impl, *args, **kwargs)

@@ -128,9 +128,24 @@ class DataLoader:
         if self._pool is None:
             from concurrent.futures import ProcessPoolExecutor
             import multiprocessing as mp
+            import pickle
 
+            # forkserver when possible: the server process is exec'd fresh,
+            # so workers never fork a JAX-threaded parent (fork after XLA
+            # threads start can deadlock; CPython warns on it). forkserver
+            # ships dataset/collate pickled; fall back to fork inheritance
+            # for unpicklable datasets (e.g. closures over local fixtures).
+            # NOTE: like torch DataLoader with the spawn method, forkserver
+            # re-imports the caller's __main__ — user scripts driving this
+            # loader need an `if __name__ == "__main__":` guard (all shipped
+            # entry scripts have one).
+            method = "forkserver"
+            try:
+                pickle.dumps((self.dataset, self.collate_fn))
+            except Exception:
+                method = "fork"
             self._pool = ProcessPoolExecutor(
-                self.num_workers, mp_context=mp.get_context("fork"),
+                self.num_workers, mp_context=mp.get_context(method),
                 initializer=_worker_init,
                 initargs=(self.dataset, self.collate_fn, self.seed))
         return self._pool
