@@ -393,3 +393,187 @@ def test_refcoco_reference_model_to_result(ref_env, vocab_dir, tmp_path):
     assert len(preds) >= 1
     assert all(len(p["pred_box"]) == 4 for p in preds)
     assert os.path.exists(out)
+
+
+def test_raw_resnet_warm_start(ref_env, vocab_dir, tmp_path):
+    """resnet101-pt-vgbua-style RAW ResNet state dict (conv1/bn1/layerL.K.*)
+    -> full backbone + conv5 ROI-head warm start. ref: the resnet ctor loads
+    the whole dict (common/fast_rcnn.py:55-61) and init_weight copies the
+    layer4.* rows into the ROI head (:115-121). Exercises the engine path
+    NETWORK.IMAGE_PRETRAINED -> apply_warm_starts."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from common.backbone.resnet.resnet import resnet50   # reference ctor
+    from vlbert_tpu.engine.train import apply_warm_starts, warm_start_paths
+    from vlbert_tpu.models.task_modules import build_module
+    from vlbert_tpu.training.checkpoint import flatten_params
+    from vlbert_tpu.training.loop import TrainState
+    from vlbert_tpu.utils.config import default_config
+
+    torch.manual_seed(0)
+    net = resnet50(pretrained=False, expose_stages=[5])
+    sd = {k: v for k, v in net.state_dict().items()}
+    prefix = str(tmp_path / "resnet50-pt-test")
+    torch.save(sd, prefix + "-0000.model")
+
+    vdir, vocab_size = vocab_dir
+    cfg = default_config("refcoco")
+    cfg.MODULE = "ResNetVLBERT"
+    cfg.NETWORK.BERT_MODEL_NAME = vdir
+    _tiny_my_vlbert(cfg, vocab_size)
+    cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = False
+    cfg.NETWORK.IMAGE_NUM_LAYERS = 50
+    cfg.NETWORK.IMAGE_SEMANTIC = False
+    cfg.NETWORK.IMAGE_PRETRAINED = prefix
+    cfg.NETWORK.IMAGE_PRETRAINED_EPOCH = 0
+
+    # path resolution mirrors the reference's '{prefix}-{epoch:04d}.model'
+    lang, img = warm_start_paths(cfg)
+    assert img == prefix + "-0000.model"
+    assert lang is None   # vocab-only dir: no pytorch_model.bin
+
+    model = build_module(cfg, "refcoco", dtype=jnp.float32)
+    B, O, T, IMG = 1, 4, 12, 32
+    init_batch = (
+        jnp.zeros((B, IMG, IMG, 3)), jnp.zeros((B, O, 4)),
+        jnp.ones((B, O), bool), jnp.asarray([[IMG, IMG, 1, 1]], jnp.float32),
+        jnp.ones((B, T), jnp.int32), jnp.ones((B, T), bool))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        *init_batch, train=False)
+    state = TrainState(params=params, opt_state=None,
+                       step=jnp.zeros((), jnp.int32))
+    before = flatten_params(jax.device_get(state.params["params"]))
+    state2 = apply_warm_starts(state, cfg)
+    after = flatten_params(jax.device_get(state2.params["params"]))
+
+    # every visual-tower tensor (backbone + conv5 roi head) is overwritten
+    visual = [k for k in after
+              if ".backbone." in k or ".roi_head." in k]
+    assert len(visual) > 100
+    changed = [k for k in visual if not np.array_equal(before[k], after[k])]
+    missed = sorted(set(visual) - set(changed))
+    # FrozenBatchNorm 'var' init is ones and torch init is ones too — allow
+    # only exact-same-init leaves to be unchanged; conv kernels MUST change
+    assert all(".var" in k or ".mean" in k or "bn" in k or ".scale" in k
+               for k in missed), missed[:8]
+    conv_kernels = [k for k in visual if k.endswith(".kernel")]
+    assert all(k in changed for k in conv_kernels), \
+        sorted(set(conv_kernels) - set(changed))[:8]
+
+    # numeric spot check: conv1 kernel = torch conv1.weight in HWIO
+    w_ref = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    k_conv1 = [k for k in visual if k.endswith("backbone.conv1.kernel")]
+    assert len(k_conv1) == 1
+    np.testing.assert_allclose(after[k_conv1[0]], w_ref, rtol=0, atol=0)
+
+    # roi head layer4 block 0 conv1 = torch layer4.0.conv1.weight
+    w4 = sd["layer4.0.conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    k4 = [k for k in visual if k.endswith("roi_head.layer4.block_0.conv1.kernel")]
+    assert len(k4) == 1
+    np.testing.assert_allclose(after[k4[0]], w4, rtol=0, atol=0)
+
+
+def test_bert_warm_start_from_model_dir(ref_env, vocab_dir, tmp_path):
+    """BERT_MODEL_NAME dir containing pytorch_model.bin -> language warm
+    start of the vlbert tree (ref module ctor fallback,
+    vcr/modules/resnet_vlbert_for_vcr.py:25-33), gated on VLBERT.from_scratch."""
+    import shutil
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from vlbert_tpu.engine.train import apply_warm_starts, warm_start_paths
+    from vlbert_tpu.models.task_modules import build_module
+    from vlbert_tpu.training.checkpoint import flatten_params
+    from vlbert_tpu.training.loop import TrainState
+    from vlbert_tpu.utils.config import default_config
+
+    vdir, vocab_size = vocab_dir
+    bdir = tmp_path / "bert-tiny-uncased"
+    bdir.mkdir()
+    shutil.copy(os.path.join(vdir, "vocab.txt"), bdir / "vocab.txt")
+
+    # synthesize bert.* weights at the tiny geometry
+    torch.manual_seed(1)
+    sd = {
+        "bert.embeddings.word_embeddings.weight": torch.randn(vocab_size, HID),
+        "bert.embeddings.position_embeddings.weight": torch.randn(MAXPOS, HID),
+        "bert.embeddings.token_type_embeddings.weight": torch.randn(2, HID),
+        "bert.embeddings.LayerNorm.weight": torch.randn(HID),
+        "bert.embeddings.LayerNorm.bias": torch.randn(HID),
+    }
+    for i in range(LAYERS):
+        p = f"bert.encoder.layer.{i}."
+        for name, shape in [
+            ("attention.self.query.weight", (HID, HID)),
+            ("attention.self.query.bias", (HID,)),
+            ("attention.self.key.weight", (HID, HID)),
+            ("attention.self.key.bias", (HID,)),
+            ("attention.self.value.weight", (HID, HID)),
+            ("attention.self.value.bias", (HID,)),
+            ("attention.output.dense.weight", (HID, HID)),
+            ("attention.output.dense.bias", (HID,)),
+            ("attention.output.LayerNorm.weight", (HID,)),
+            ("attention.output.LayerNorm.bias", (HID,)),
+            ("intermediate.dense.weight", (INTER, HID)),
+            ("intermediate.dense.bias", (INTER,)),
+            ("output.dense.weight", (HID, INTER)),
+            ("output.dense.bias", (HID,)),
+            ("output.LayerNorm.weight", (HID,)),
+            ("output.LayerNorm.bias", (HID,)),
+        ]:
+            sd[p + name] = torch.randn(*shape)
+    torch.save(sd, bdir / "pytorch_model.bin")
+
+    cfg = default_config("vqa")
+    cfg.MODULE = "ResNetVLBERT"
+    cfg.NETWORK.BERT_MODEL_NAME = str(bdir)
+    _tiny_my_vlbert(cfg, vocab_size)
+    cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = True
+    cfg.DATASET.ANSWER_VOCAB_SIZE = 8
+
+    lang, img = warm_start_paths(cfg)
+    assert lang == str(bdir / "pytorch_model.bin")
+    cfg.NETWORK.VLBERT.from_scratch = True
+    assert warm_start_paths(cfg)[0] is None       # from_scratch gates it
+    cfg.NETWORK.VLBERT.from_scratch = False
+
+    model = build_module(cfg, "vqa", dtype=jnp.float32)
+    B, O, T, F = 1, 4, 10, HID
+    init_batch = (
+        None, jnp.zeros((B, O, 4 + F)), jnp.ones((B, O), bool),
+        jnp.asarray([[64, 64, 1, 1]], jnp.float32),
+        jnp.ones((B, T), jnp.int32), jnp.zeros((B, T), jnp.int32),
+        jnp.ones((B, T), bool), jnp.full((B,), T - 1, jnp.int32),
+        jnp.zeros((B, 8)))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        *init_batch, train=True)
+    state = TrainState(params=params, opt_state=None,
+                       step=jnp.zeros((), jnp.int32))
+    state2 = apply_warm_starts(state, cfg)
+    after = flatten_params(jax.device_get(state2.params["params"]))
+
+    we = [k for k in after if k.endswith("vlbert.word_embeddings.embedding")]
+    assert len(we) == 1
+    np.testing.assert_allclose(
+        after[we[0]], sd["bert.embeddings.word_embeddings.weight"].numpy(),
+        rtol=0, atol=0)
+    # token-type rows: 2-row checkpoint -> row2 duplicated from row1
+    tt = [k for k in after if k.endswith("token_type_embeddings.embedding")]
+    ttv = after[tt[0]]
+    ref_tt = sd["bert.embeddings.token_type_embeddings.weight"].numpy()
+    np.testing.assert_allclose(ttv[:2], ref_tt)
+    np.testing.assert_allclose(ttv[2], ref_tt[1])
+    # encoder layer weights land transposed (torch [out,in] -> flax [in,out])
+    q = [k for k in after if k.endswith("layer_0.attention.self.query.kernel")]
+    assert len(q) == 1
+    np.testing.assert_allclose(
+        after[q[0]], sd["bert.encoder.layer.0.attention.self.query.weight"]
+        .numpy().T, rtol=0, atol=0)

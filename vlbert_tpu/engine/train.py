@@ -52,6 +52,70 @@ def nsp_to_binary_classifier_surgery(pretrain_flat, config):
     return pretrain_flat
 
 
+def warm_start_paths(config):
+    """Language + image warm-start checkpoint paths.
+
+    ref: each task module ctor resolves BERT weights from
+    NETWORK.BERT_PRETRAINED ('{prefix}-{epoch:04d}.model') or falls back to
+    the BERT_MODEL_NAME archive dir's pytorch_model.bin
+    (vcr/modules/resnet_vlbert_for_vcr.py:20-33), gated on
+    VLBERT.from_scratch; FastRCNN resolves the ResNet checkpoint from
+    NETWORK.IMAGE_PRETRAINED (common/fast_rcnn.py:39-40).
+    """
+    net = config.NETWORK
+    lang = None
+    # from_scratch exists only in the pretrain tree (ref pretrain config:88)
+    if not net.VLBERT.get("from_scratch", False):
+        if net.BERT_PRETRAINED:
+            lang = "{}-{:04d}.model".format(net.BERT_PRETRAINED,
+                                            int(net.BERT_PRETRAINED_EPOCH))
+        elif os.path.isdir(net.BERT_MODEL_NAME):
+            cand = os.path.join(net.BERT_MODEL_NAME, "pytorch_model.bin")
+            if os.path.isfile(cand):
+                lang = cand
+    img = None
+    if net.IMAGE_PRETRAINED:
+        img = "{}-{:04d}.model".format(net.IMAGE_PRETRAINED,
+                                       int(net.IMAGE_PRETRAINED_EPOCH))
+        if not os.path.isfile(img) and os.path.isfile(net.IMAGE_PRETRAINED):
+            img = net.IMAGE_PRETRAINED     # direct path (.model/.npz)
+    return lang, img
+
+
+def apply_warm_starts(state, config, logger=logger):
+    """Load language (BERT) and image (ResNet) warm starts into the param
+    tree; a later PARTIAL_PRETRAIN overrides overlapping keys, matching the
+    reference's ctor-then-train_net order."""
+    lang_path, img_path = warm_start_paths(config)
+    if not lang_path and not img_path:
+        return state
+    from vlbert_tpu.training import convert as cvt
+
+    def torch_flat(path, converter):
+        if path.endswith(".npz"):
+            return cvt.load_torch_or_native_checkpoint(path)
+        import torch
+
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+        flat, _ = converter(sd)
+        return flat
+
+    params_host = jax.device_get(state.params["params"])
+    if img_path:
+        flat = torch_flat(img_path, cvt.convert_raw_resnet_checkpoint)
+        params_host, loaded = ckpt_lib.partial_load(params_host, flat)
+        logger.info("image warm start %s: %d tensors", img_path, len(loaded))
+    if lang_path:
+        flat = torch_flat(lang_path, cvt.convert_bert_checkpoint)
+        if config.TPU.get("FUSED_QKV", False):
+            flat = cvt.fuse_qkv_params(flat)
+        params_host, loaded = ckpt_lib.partial_load(params_host, flat)
+        logger.info("language warm start %s: %d tensors", lang_path,
+                    len(loaded))
+    return state.replace(params={**state.params, "params": params_host})
+
+
 def train_net(args, config, task):
     rank = jax.process_index()
     output_path = os.path.join(
@@ -112,6 +176,9 @@ def train_net(args, config, task):
 
     state, tx, sched = create_train_state(model, sample_init, config,
                                           steps_per_epoch)
+
+    # language (BERT) + image (ResNet) warm starts — ref module ctors
+    state = apply_warm_starts(state, config)
 
     # partial-pretrain warm start (ref :199-232)
     if config.NETWORK.PARTIAL_PRETRAIN:

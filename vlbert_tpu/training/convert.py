@@ -275,6 +275,29 @@ def convert_bert_checkpoint(sd, target_prefix="vlbert."):
     return flat, skipped
 
 
+def convert_raw_resnet_checkpoint(sd, target_prefix="image_feature_extractor."):
+    """Raw torchvision-style ResNet state dict (conv1./bn1./layerL.K.*) ->
+    backbone + conv5 ROI-head warm start.
+
+    ref semantics: the backbone loads the whole dict (resnet ctor w/
+    pretrained_model_path, common/fast_rcnn.py:55-61 +
+    common/backbone/resnet/resnet.py:201-215) and the ROI head loads the
+    layer4.* rows of the SAME checkpoint (FastRCNN.init_weight,
+    common/fast_rcnn.py:115-121). Our C4 backbone holds stem + layer1..3;
+    layer4 maps only onto the ROI head.
+    """
+    remapped = {}
+    for k, v in sd.items():
+        if k.startswith("fc.") or k.endswith("num_batches_tracked"):
+            continue
+        if k.startswith("layer4."):
+            remapped[target_prefix + "roi_head_feature_extractor."
+                     + k[len("layer4."):]] = v
+        else:
+            remapped[target_prefix + "backbone." + k] = v
+    return convert_state_dict(remapped)
+
+
 def load_torch_or_native_checkpoint(path):
     """Load a checkpoint file into a flat {flax.path: array} dict.
 
