@@ -672,9 +672,8 @@ def test_process_worker_loader_matches_thread_loader(tmp_path, tok):
     collate = make_vcr_collate(tok, 24, 6, mask_size=(7, 7))
 
     def batches(num_workers):
-        # fresh dataset per run: VCR's rotating person-name state is
-        # visit-order-dependent (exactly like the reference's per-worker
-        # dataset copies under torch DataLoader)
+        # person-name rotation is deterministic per sample index, so thread
+        # and process layouts must produce identical batches
         ds = VCRDataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
                         tokenizer=tok, task="Q2A", add_image_as_a_box=True,
                         mask_size=(7, 7), seq_len=32)

@@ -450,3 +450,73 @@ def test_train_fp16_flag_selects_dtype(tmp_path):
     cfg.TPU.FP16_PARITY_MODE = False
     cfg.TPU.COMPUTE_DTYPE = "float32"
     assert resolve(cfg) == jnp.float32
+
+
+def test_batch_first_loss_norms_match_reference_formulas():
+    """MLM/MVRC_LOSS_NORM_IN_BATCH_FIRST: per-example mean over valid
+    tokens/rows then mean over examples with any valid entry, +1e-4
+    smoothing — checked against a torch transcription of the reference code
+    (pretrain/modules/resnet_vlbert_for_pretraining.py:168-190)."""
+    import torch
+    import torch.nn.functional as F
+
+    from vlbert_tpu.utils import losses
+
+    rng = np.random.default_rng(0)
+    B, T, V = 5, 7, 11
+    logits = rng.normal(size=(B, T, V)).astype(np.float32)
+    labels = rng.integers(-1, V, size=(B, T)).astype(np.int32)
+    labels[3] = -1                       # one example with no masked tokens
+
+    got = float(losses.cross_entropy_ignore_index_batch_first(
+        jnp.asarray(logits), jnp.asarray(labels), -1))
+    tl = torch.from_numpy(logits)
+    tt = torch.from_numpy(labels.astype(np.int64))
+    ref_ce = F.cross_entropy(tl.transpose(1, 2), tt, ignore_index=-1,
+                             reduction="none")
+    num = (tt != -1).sum(1, keepdim=True).to(ref_ce.dtype)
+    num_has = (num != 0).sum().to(ref_ce.dtype)
+    want = float((ref_ce / (num + 1e-4)).sum() / (num_has + 1e-4))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # MVRC soft-target variant; rows valid iff |sum-1| < 0.1
+    O, C = 6, 9
+    slogits = rng.normal(size=(B, O, C)).astype(np.float32)
+    soft = rng.uniform(size=(B, O, C)).astype(np.float32)
+    soft /= soft.sum(-1, keepdims=True)             # valid rows
+    soft[1, 2] *= 5.0                               # invalidate one row
+    soft[4] *= 0.0                                  # example with no valid rows
+    got = float(losses.soft_cross_entropy_batch_first(
+        jnp.asarray(slogits), jnp.asarray(soft)))
+    tsl = torch.from_numpy(slogits)
+    tso = torch.from_numpy(soft)
+    valid = (tso.sum(-1) - 1).abs() < 0.1
+    per_row = (-F.log_softmax(tsl, -1) * tso).sum(-1) * valid
+    num = valid.sum(1, keepdim=True).to(per_row.dtype)
+    num_has = (num != 0).sum().to(per_row.dtype)
+    want = float((per_row.sum(1, keepdim=True) / (num + 1e-4)).sum()
+                 / (num_has + 1e-4))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_partial_pretrain_segmb_init(tmp_path, monkeypatch):
+    """PARTIAL_PRETRAIN_SEGMB_INIT (ON in every shipped VCR config, ref
+    vcr/function/train.py:223-229): token-type row 1 of the loaded pretrain
+    checkpoint is re-initialized from row 0 before partial load."""
+    from vlbert_tpu.engine.train import segmb_init_surgery
+    from vlbert_tpu.utils.config import default_config
+
+    tt_key = "vlbert.token_type_embeddings.embedding"
+    cfg = default_config("vcr")
+
+    cfg.NETWORK.PARTIAL_PRETRAIN_SEGMB_INIT = False
+    flat = {tt_key: np.arange(12, dtype=np.float32).reshape(3, 4)}
+    flat = segmb_init_surgery(flat, cfg)
+    np.testing.assert_array_equal(flat[tt_key][1],
+                                  np.asarray([4, 5, 6, 7], np.float32))
+
+    cfg.NETWORK.PARTIAL_PRETRAIN_SEGMB_INIT = True
+    flat = segmb_init_surgery(flat, cfg)
+    np.testing.assert_array_equal(flat[tt_key][1], flat[tt_key][0])
+    np.testing.assert_array_equal(flat[tt_key][2],
+                                  np.asarray([8, 9, 10, 11], np.float32))

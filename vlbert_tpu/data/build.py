@@ -46,6 +46,16 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
     """Build one loader. Per-host input sharding replaces DistributedSampler
     (SURVEY §2.6): each JAX process loads its shard."""
     d = dataset_cfg if dataset_cfg is not None else cfg.DATASET
+    if d.get("CACHE_MODE", False):
+        # the reference also rejects it: `assert not cache_mode, 'currently
+        # not support cache mode!'` (conceptual_captions.py:47)
+        raise NotImplementedError(
+            "DATASET.CACHE_MODE (whole-dataset RAM cache) is not supported, "
+            "matching the reference's own assert")
+    if d.get("QA2R_AUG", False):
+        # reference: `assert not qa2r_aug, "Not implemented!"` (vcr.py:62)
+        raise NotImplementedError("DATASET.QA2R_AUG is not implemented, "
+                                  "matching the reference's own assert")
     ann_file, image_set, batch_images, shuffle = _mode_fields(cfg, mode)
     if isinstance(batch_images, (list, tuple)):
         batch_images = batch_images[0]

@@ -93,7 +93,6 @@ class VCRDataset:
         self.seq_len = seq_len
         self.tokenizer = tokenizer
         self.transform = transform
-        self.person_name_id = 0
         self.database = self.load_annotations(self.ann_file)
         # fixed 81-category COCO list (ref :69-78); the lookup is strict so
         # an unknown object name fails loudly rather than drifting ids
@@ -204,12 +203,19 @@ class VCRDataset:
             idb["boxes"] = [idb["boxes"][i] for i in dets]
             idb["segms"] = [idb["segms"][i] for i in dets]
 
+        # Gender-neutral name rotation (ref :297-304). The reference rotates
+        # a GLOBAL counter across __getitem__ calls — nondeterministic under
+        # parallel loading (per-worker dataset copies, shuffled visit order,
+        # and a data race in a thread pool). Names are interchangeable
+        # placeholders, so we rotate deterministically PER SAMPLE, seeded by
+        # the sample index: reproducible for any worker/thread layout.
         objects_replace_name = []
+        person_name_id = index % len(GENDER_NEUTRAL_NAMES)
         for o in idb["objects"]:
             if o == "person":
                 objects_replace_name.append(
-                    GENDER_NEUTRAL_NAMES[self.person_name_id])
-                self.person_name_id = (self.person_name_id + 1) \
+                    GENDER_NEUTRAL_NAMES[person_name_id])
+                person_name_id = (person_name_id + 1) \
                     % len(GENDER_NEUTRAL_NAMES)
             else:
                 objects_replace_name.append(o)

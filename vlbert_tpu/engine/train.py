@@ -52,6 +52,19 @@ def nsp_to_binary_classifier_surgery(pretrain_flat, config):
     return pretrain_flat
 
 
+def segmb_init_surgery(flat, config):
+    """Segment-B init (ref vcr/function/train.py:223-229, ON in every
+    shipped VCR config): pretraining only used token-type 0 for text, VCR
+    uses 0/1 — re-init the B row from the A row of the loaded checkpoint."""
+    tt_key = "vlbert.token_type_embeddings.embedding"
+    if config.NETWORK.get("PARTIAL_PRETRAIN_SEGMB_INIT", False) \
+            and tt_key in flat:
+        tt = np.array(flat[tt_key])
+        tt[1] = tt[0]
+        flat[tt_key] = tt
+    return flat
+
+
 def warm_start_paths(config):
     """Language + image warm-start checkpoint paths.
 
@@ -191,6 +204,7 @@ def train_net(args, config, task):
         prefix_changes = [pc.split("->") for pc in
                           config.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES]
         flat = nsp_to_binary_classifier_surgery(flat, config)
+        flat = segmb_init_surgery(flat, config)
         if config.NETWORK.get("CLASSIFIER_PRETRAINED", False) \
                 and config.NETWORK.CLASSIFIER_TYPE == "mlm":
             from vlbert_tpu.training.convert import mlm_transform_to_classifier

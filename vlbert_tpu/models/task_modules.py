@@ -635,22 +635,29 @@ class ResNetVLBERTForPretrainingMultitask(nn.Module):
             mlm_wvc = mlm_logits[:B]
             labels_wvc = jnp.pad(mlm_labels, ((0, 0), (0, T - mlm_labels.shape[1])),
                                  constant_values=-1)
-            mlm_loss_wvc = losses.cross_entropy_ignore_index(
-                mlm_wvc, labels_wvc, -1)
+            # NORM_IN_BATCH_FIRST: per-example token mean then example mean
+            # (ref pretrain module :168-178) vs the default global token mean
+            mlm_ce = (losses.cross_entropy_ignore_index_batch_first
+                      if net.MLM_LOSS_NORM_IN_BATCH_FIRST
+                      else losses.cross_entropy_ignore_index)
+            mlm_loss_wvc = mlm_ce(mlm_wvc, labels_wvc, -1)
             outputs.update(mlm_logits_wvc=mlm_wvc, mlm_label_wvc=labels_wvc)
             if B2:
                 mlm_aux = mlm_logits[B:]
                 labels_aux = jnp.pad(
                     aux_mlm_labels, ((0, 0), (0, T - aux_mlm_labels.shape[1])),
                     constant_values=-1)
-                mlm_loss_aux = losses.cross_entropy_ignore_index(
-                    mlm_aux, labels_aux, -1)
+                mlm_loss_aux = mlm_ce(mlm_aux, labels_aux, -1)
                 outputs.update(mlm_logits_aux=mlm_aux, mlm_label_aux=labels_aux)
         if net.WITH_MVRC_LOSS:
             mvrc_wvc = mvrc_logits[:B]
-            mvrc_loss = losses.soft_cross_entropy(
-                mvrc_wvc.reshape(-1, mvrc_wvc.shape[-1]),
-                mvrc_labels.reshape(-1, mvrc_labels.shape[-1]))
+            if net.MVRC_LOSS_NORM_IN_BATCH_FIRST:   # ref :183-190
+                mvrc_loss = losses.soft_cross_entropy_batch_first(
+                    mvrc_wvc, mvrc_labels)
+            else:
+                mvrc_loss = losses.soft_cross_entropy(
+                    mvrc_wvc.reshape(-1, mvrc_wvc.shape[-1]),
+                    mvrc_labels.reshape(-1, mvrc_labels.shape[-1]))
             outputs.update(mvrc_logits=mvrc_wvc, mvrc_label=mvrc_labels)
 
         outputs.update(relationship_loss=relationship_loss,

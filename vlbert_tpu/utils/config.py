@@ -267,7 +267,7 @@ def _common_config():
     tp.MESH_SHAPE = []           # e.g. [8] or [4, 2]; [] = all local devices on 'data'
     tp.MESH_AXES = ["data"]      # axis names; 2nd axis (if any) is 'model'
     tp.COMPUTE_DTYPE = "bfloat16"  # bf16 matmuls/convs; fp32 LN/softmax accumulation
-    tp.PARAM_DTYPE = "float32"
+    # (params are always fp32 — master weights; no PARAM_DTYPE knob)
     tp.MAX_TEXT_LEN = 64         # static text bucket
     tp.MAX_BOXES = 108           # static box bucket (incl. whole-image box)
     tp.IMAGE_SIZE = []           # [] = derive (max canvas) from SCALES

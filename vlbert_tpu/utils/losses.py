@@ -70,3 +70,39 @@ def bce_with_logits_masked(logits, targets, mask):
     loss = (jnp.maximum(logits, 0) - logits * targets
             + jnp.log1p(jnp.exp(-jnp.abs(logits))))
     return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def cross_entropy_ignore_index_batch_first(logits, labels, ignore_index=-1):
+    """MLM_LOSS_NORM_IN_BATCH_FIRST variant (ref pretrain module :168-174):
+    per-example mean over that example's valid tokens, then mean over
+    examples that have any valid token; both denominators get the
+    reference's +1e-4 smoothing.
+    """
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    num = jnp.sum(valid, axis=1).astype(jnp.float32)              # [B]
+    per_ex = jnp.sum(nll, axis=1) / (num + 1e-4)
+    num_has = jnp.sum(num != 0).astype(jnp.float32)
+    return jnp.sum(per_ex) / (num_has + 1e-4)
+
+
+def soft_cross_entropy_batch_first(logits, soft_labels):
+    """MVRC_LOSS_NORM_IN_BATCH_FIRST variant (ref pretrain module :183-190):
+    row valid if |sum(soft)-1| < 0.1; per-example mean over valid rows, then
+    mean over examples with any valid row (+1e-4 smoothing, as reference).
+    logits/soft_labels: [B, O, C].
+    """
+    logits = logits.astype(jnp.float32)
+    soft_labels = soft_labels.astype(jnp.float32)
+    valid = jnp.abs(jnp.sum(soft_labels, axis=-1) - 1.0) < 0.1    # [B, O]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_row = -jnp.sum(soft_labels * logp, axis=-1)
+    per_row = jnp.where(valid, per_row, 0.0)
+    num = jnp.sum(valid, axis=1).astype(jnp.float32)              # [B]
+    per_ex = jnp.sum(per_row, axis=1) / (num + 1e-4)
+    num_has = jnp.sum(num != 0).astype(jnp.float32)
+    return jnp.sum(per_ex) / (num_has + 1e-4)
