@@ -713,6 +713,12 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
     key = f"{config.MODULE}:{task}"
     if key not in MODULES:
         raise ValueError(f"unknown module {config.MODULE!r} for task {task!r}")
+    if config.NETWORK.get("FOR_MASK_VL_MODELING_PRETRAIN", False):
+        # the reference rejects it too: `assert not self.for_pretrain, "Not
+        # implement pretrain mode now!"` (vcr/modules/resnet_vlbert_for_vcr.py:66)
+        raise NotImplementedError(
+            "NETWORK.FOR_MASK_VL_MODELING_PRETRAIN is not implemented, "
+            "matching the reference's own assert")
     fused = False
     fused_qkv = False
     scan_layers = False
