@@ -7,6 +7,8 @@ sub-dataset for multitask pretraining).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
@@ -144,6 +146,12 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
         raise ValueError(f"unknown dataset {name!r}")
 
     n_workers = cfg.NUM_WORKERS_PER_GPU * jax.local_device_count()
+    # cap by host cores: on small hosts extra worker processes only add
+    # IPC + context-switch cost (measured on 1 CPU: 0 workers 50 img/s vs
+    # 4 workers 39 img/s, bench_host.py); single-core hosts use the
+    # in-process thread path
+    n_cpus = os.cpu_count() or 1
+    n_workers = min(n_workers, max(n_cpus - 1, 0))
     use_procs = cfg.TPU.get("PROCESS_WORKERS", True) and n_workers > 0
     return DataLoader(ds, batch_images, collate,
                       shuffle=shuffle and mode == "train",
