@@ -843,3 +843,35 @@ def test_collates_pickle_and_pool_prefers_forkserver(tmp_path, tok):
         assert "Server" not in type(pool2._mp_context).__name__
     finally:
         dl2.shutdown()
+
+
+def test_worker_count_capped_by_host_cores(tmp_path, tok, monkeypatch):
+    """NUM_WORKERS_PER_GPU x devices is capped at cpu_count-1 (single-core
+    hosts fall back to the thread path — measured faster, bench_host.py)."""
+    import vlbert_tpu.data.build as build_mod
+    from vlbert_tpu.data.build import make_dataloader
+    from vlbert_tpu.utils.config import default_config
+
+    d = _write_vcr_fixture(tmp_path, name="vcrcap")
+    cfg = default_config("vcr")
+    cfg.DATASET.DATASET = "vcr"
+    cfg.DATASET.DATASET_PATH = str(d)
+    cfg.DATASET.ROOT_PATH = str(tmp_path)
+    cfg.DATASET.TRAIN_ANNOTATION_FILE = "ann.jsonl"
+    cfg.DATASET.TRAIN_IMAGE_SET = "train"
+    cfg.DATASET.TASK = "Q2A"
+    cfg.DATASET.MASK_SIZE = 7
+    cfg.TRAIN.BATCH_IMAGES = 1
+    cfg.NUM_WORKERS_PER_GPU = 4
+    cfg.TPU.MAX_TEXT_LEN = 32
+    cfg.TPU.MAX_BOXES = 8
+    cfg.NETWORK.BERT_MODEL_NAME = tok.vocab_file \
+        if hasattr(tok, "vocab_file") else cfg.NETWORK.BERT_MODEL_NAME
+
+    monkeypatch.setattr(build_mod.os, "cpu_count", lambda: 1)
+    dl = make_dataloader(cfg, "vcr", "train", tokenizer=tok)
+    assert dl.num_workers == 0
+
+    monkeypatch.setattr(build_mod.os, "cpu_count", lambda: 64)
+    dl = make_dataloader(cfg, "vcr", "train", tokenizer=tok)
+    assert dl.num_workers == 4 * __import__("jax").local_device_count()
