@@ -875,3 +875,36 @@ def test_worker_count_capped_by_host_cores(tmp_path, tok, monkeypatch):
     monkeypatch.setattr(build_mod.os, "cpu_count", lambda: 64)
     dl = make_dataloader(cfg, "vcr", "train", tokenizer=tok)
     assert dl.num_workers == 4 * __import__("jax").local_device_count()
+
+
+def test_vcr_person_names_vary_by_epoch(tmp_path, tok):
+    """Person-name rotation is deterministic per (epoch, sample): same
+    sample gets different names across epochs (no stable per-sample name
+    cue), and both worker layouts agree at every epoch."""
+    from vlbert_tpu.data.datasets.vcr import VCRDataset, make_vcr_collate
+    from vlbert_tpu.data.loader import DataLoader
+
+    d = _write_vcr_fixture(tmp_path, name="vcrep")
+    collate = make_vcr_collate(tok, 24, 6, mask_size=(7, 7))
+
+    def batches(num_workers, epoch):
+        ds = VCRDataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                        tokenizer=tok, task="Q2A", add_image_as_a_box=True,
+                        mask_size=(7, 7), seq_len=32)
+        dl = DataLoader(ds, batch_size=2, collate_fn=collate, shuffle=False,
+                        seed=3, num_workers=num_workers, drop_last=False)
+        dl.set_epoch(epoch)
+        try:
+            return list(dl)
+        finally:
+            dl.shutdown()
+
+    e0_threads = batches(0, 0)
+    e1_threads = batches(0, 1)
+    # text ids differ between epochs (person names rotated)
+    assert not all(np.array_equal(a, b)
+                   for a, b in zip(e0_threads[0], e1_threads[0]))
+    # process workers agree with threads at the same epoch
+    e1_procs = batches(2, 1)
+    for a, b in zip(e1_threads[0], e1_procs[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -520,3 +520,182 @@ def test_partial_pretrain_segmb_init(tmp_path, monkeypatch):
     np.testing.assert_array_equal(flat[tt_key][1], flat[tt_key][0])
     np.testing.assert_array_equal(flat[tt_key][2],
                                   np.asarray([8, 9, 10, 11], np.float32))
+
+
+def test_partial_pretrain_with_shipped_prefix_changes(tmp_path):
+    """The shipped VCR configs' PARTIAL_PRETRAIN_PREFIX_CHANGES are written
+    in REFERENCE torch naming and must be applied to the RAW checkpoint
+    names BEFORE conversion (ref vcr/function/train.py:202-214). Regression:
+    applying them to converted flax names loaded 0 tensors silently."""
+    import torch
+
+    from vlbert_tpu.engine.train import apply_partial_pretrain
+    from vlbert_tpu.models.task_modules import build_module
+    from vlbert_tpu.training.checkpoint import flatten_params
+    from vlbert_tpu.training.loop import TrainState
+    from vlbert_tpu.utils.config import default_config
+
+    HID, INTER, VOC, MAXP = 32, 64, 300, 64
+    torch.manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape)
+
+    # synthetic reference PRETRAIN checkpoint (DDP 'module.' + pretrain
+    # module attribute names: vlbert. is NOT TimeDistributed in pretraining)
+    sd = {
+        "module.vlbert.word_embeddings.weight": t(VOC, HID),
+        "module.vlbert.position_embeddings.weight": t(MAXP, HID),
+        "module.vlbert.token_type_embeddings.weight": t(3, HID),
+        "module.vlbert.embedding_LayerNorm.weight": t(HID),
+        "module.vlbert.embedding_LayerNorm.bias": t(HID),
+        "module.vlbert.end_embedding.weight": t(1, HID),
+        "module.vlbert.visual_ln_text.weight": t(HID),
+        "module.vlbert.visual_ln_text.bias": t(HID),
+        "module.vlbert.visual_ln_object.weight": t(HID),
+        "module.vlbert.visual_ln_object.bias": t(HID),
+        "module.vlbert.pooler.dense.weight": t(HID, HID),
+        "module.vlbert.pooler.dense.bias": t(HID),
+        # pretrain MVRC head -> fine-tune cnn_loss_reg.0 via prefix rule
+        "module.vlbert.mvrc_head.transform.dense.weight": t(HID, HID),
+        "module.vlbert.mvrc_head.transform.dense.bias": t(HID),
+        # NSP-style relationship head -> final_mlp surgery (LOAD_REL_HEAD)
+        "module.vlbert.relationsip_head.caption_image_relationship.weight":
+            t(2, HID),
+        "module.vlbert.relationsip_head.caption_image_relationship.bias": t(2),
+    }
+    for name, shape in [
+        ("attention.self.query.weight", (HID, HID)),
+        ("attention.self.query.bias", (HID,)),
+        ("attention.self.key.weight", (HID, HID)),
+        ("attention.self.key.bias", (HID,)),
+        ("attention.self.value.weight", (HID, HID)),
+        ("attention.self.value.bias", (HID,)),
+        ("attention.output.dense.weight", (HID, HID)),
+        ("attention.output.dense.bias", (HID,)),
+        ("attention.output.LayerNorm.weight", (HID,)),
+        ("attention.output.LayerNorm.bias", (HID,)),
+        ("intermediate.dense.weight", (INTER, HID)),
+        ("intermediate.dense.bias", (INTER,)),
+        ("output.dense.weight", (HID, INTER)),
+        ("output.dense.bias", (HID,)),
+        ("output.LayerNorm.weight", (HID,)),
+        ("output.LayerNorm.bias", (HID,)),
+    ]:
+        sd[f"module.vlbert.encoder.layer.0.{name}"] = t(*shape)
+    ckpt = str(tmp_path / "pretrain.model")
+    torch.save({"state_dict": sd}, ckpt)
+
+    cfg = default_config("vcr")
+    cfg.MODULE = "ResNetVLBERT"
+    cfg.DATASET.TASK = "Q2A"
+    v = cfg.NETWORK.VLBERT
+    v.hidden_size = HID; v.visual_size = HID; v.num_hidden_layers = 1
+    v.num_attention_heads = 2; v.intermediate_size = INTER
+    v.vocab_size = VOC; v.max_position_embeddings = MAXP
+    v.visual_ln = True; v.with_pooler = True
+    cfg.NETWORK.IMAGE_FINAL_DIM = HID
+    cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = True
+    cfg.NETWORK.ENABLE_CNN_REG_LOSS = True
+    cfg.NETWORK.CNN_LOSS_TOP = True
+    cfg.NETWORK.LOAD_REL_HEAD = True
+    cfg.NETWORK.CLASSIFIER_TYPE = "2fc"
+    cfg.NETWORK.CLASSIFIER_HIDDEN_SIZE = HID
+    cfg.NETWORK.PARTIAL_PRETRAIN = ckpt
+    # the SHIPPED reference-era rules, verbatim (cfgs/vcr/*.yaml)
+    cfg.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES = [
+        "vlbert.mvrc_head.transform->cnn_loss_reg.0",
+        "module.vlbert.mvrc_head.transform->module.cnn_loss_reg.0",
+        "module.vlbert->module.vlbert._module",
+        "vlbert->vlbert._module",
+    ]
+    cfg.NETWORK.PARTIAL_PRETRAIN_SEGMB_INIT = True
+    cfg.TPU.FUSED_QKV = False
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    m = build_module(cfg, "vcr", dtype=jnp.float32)
+    B, O, T, F = 1, 4, 10, HID
+    init_batch = (
+        None, jnp.zeros((B, O, 4 + F)),                   # image, boxes
+        jnp.zeros((B, O), jnp.int32),                     # objects
+        jnp.zeros((B, O, 7, 7), jnp.float32),             # segms
+        jnp.ones((B, O), bool),                           # box_mask
+        jnp.ones((B, 4, T), jnp.int32), jnp.zeros((B, 4, T), jnp.int32),
+        jnp.zeros((B, 4, T), jnp.int32), jnp.ones((B, 4, T), bool),
+        jnp.asarray([[64, 64, 1, 1]], jnp.float32),       # im_info
+        jnp.zeros((B,), jnp.int32))                       # answer_label
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)},
+                    *init_batch, train=True)
+    state = TrainState(params=params, opt_state=None,
+                       step=jnp.zeros((), jnp.int32))
+    state2 = apply_partial_pretrain(state, cfg)
+    after = flatten_params(jax.device_get(state2.params["params"]))
+
+    def find(suffix):
+        ks = [k for k in after if k.endswith(suffix)]
+        assert len(ks) == 1, (suffix, ks)
+        return after[ks[0]]
+
+    # encoder + embeddings actually loaded
+    np.testing.assert_allclose(
+        find("vlbert.word_embeddings.embedding"),
+        sd["module.vlbert.word_embeddings.weight"].numpy(), atol=0)
+    np.testing.assert_allclose(
+        find("layer_0.attention.self.query.kernel"),
+        sd["module.vlbert.encoder.layer.0.attention.self.query.weight"]
+        .numpy().T, atol=0)
+    # mvrc transform -> cnn_loss_reg transform (prefix rule)
+    np.testing.assert_allclose(
+        find("cnn_loss_reg_transform.dense.kernel"),
+        sd["module.vlbert.mvrc_head.transform.dense.weight"].numpy().T,
+        atol=0)
+    # segm-B surgery: row1 == row0 of the checkpoint
+    tt = find("vlbert.token_type_embeddings.embedding")
+    ref_tt = sd["module.vlbert.token_type_embeddings.weight"].numpy()
+    np.testing.assert_allclose(tt[0], ref_tt[0], atol=0)
+    np.testing.assert_allclose(tt[1], ref_tt[0], atol=0)
+    np.testing.assert_allclose(tt[2], ref_tt[2], atol=0)
+    # NSP -> binary classifier surgery (row1 - row0)
+    w = sd["module.vlbert.relationsip_head.caption_image_relationship.weight"].numpy()
+    b = sd["module.vlbert.relationsip_head.caption_image_relationship.bias"].numpy()
+    np.testing.assert_allclose(find("final_mlp.dense_1.kernel"),
+                               (w[1:2] - w[0:1]).T, rtol=1e-6)
+    np.testing.assert_allclose(find("final_mlp.dense_1.bias"),
+                               b[1:2] - b[0:1], rtol=1e-6)
+
+
+def test_has_resumable_checkpoint(tmp_path):
+    from vlbert_tpu.training.checkpoint import has_resumable_checkpoint
+
+    cfg = default_config("vqa")
+    cfg.TRAIN.AUTO_RESUME = True
+    cfg.TRAIN.END_EPOCH = 3
+    prefix = str(tmp_path / "m")
+    assert not has_resumable_checkpoint(prefix, cfg)
+    open(prefix + "-0001.model", "wb").write(b"x")
+    assert has_resumable_checkpoint(prefix, cfg)
+    cfg.TRAIN.AUTO_RESUME = False
+    assert not has_resumable_checkpoint(prefix, cfg)
+    cfg.TRAIN.RESUME = True
+    cfg.TRAIN.BEGIN_EPOCH = 2
+    assert has_resumable_checkpoint(prefix, cfg)
+    cfg.TRAIN.BEGIN_EPOCH = 1
+    assert not has_resumable_checkpoint(prefix, cfg)
+
+
+def test_translate_prefix_rules_for_native():
+    """Reference-era PREFIX_CHANGES applied to a NATIVE (flax-named)
+    checkpoint: DDP/TimeDistributed renames are identities (dropped); the
+    mvrc->cnn_loss_reg remap translates; unknown rules pass through."""
+    from vlbert_tpu.training.convert import translate_prefix_rules_for_native
+
+    rules = [("vlbert.mvrc_head.transform", "cnn_loss_reg.0"),
+             ("module.vlbert.mvrc_head.transform", "module.cnn_loss_reg.0"),
+             ("module.vlbert", "module.vlbert._module"),
+             ("vlbert", "vlbert._module"),
+             ("custom.a", "custom.b")]
+    out = translate_prefix_rules_for_native(rules)
+    assert out == [("vlbert.mvrc_head.transform_dense",
+                    "cnn_loss_reg_transform.dense"),
+                   ("custom.a", "custom.b")]

@@ -44,7 +44,7 @@ def _mode_fields(cfg, mode):
 
 
 def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
-                    num_replicas=None, rank=None):
+                    num_replicas=None, rank=None, worker_share=1):
     """Build one loader. Per-host input sharding replaces DistributedSampler
     (SURVEY §2.6): each JAX process loads its shard."""
     d = dataset_cfg if dataset_cfg is not None else cfg.DATASET
@@ -149,9 +149,11 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
     # cap by host cores: on small hosts extra worker processes only add
     # IPC + context-switch cost (measured on 1 CPU: 0 workers 50 img/s vs
     # 4 workers 39 img/s, bench_host.py); single-core hosts use the
-    # in-process thread path
+    # in-process thread path. worker_share (>1 for multitask sub-loaders
+    # running concurrently) divides the core budget so the loaders don't
+    # jointly oversubscribe the host.
     n_cpus = os.cpu_count() or 1
-    n_workers = min(n_workers, max(n_cpus - 1, 0))
+    n_workers = min(n_workers, max((n_cpus - 1) // max(worker_share, 1), 0))
     use_procs = cfg.TPU.get("PROCESS_WORKERS", True) and n_workers > 0
     return DataLoader(ds, batch_images, collate,
                       shuffle=shuffle and mode == "train",
@@ -177,5 +179,6 @@ def make_multitask_dataloader(cfg, task, mode="train", tokenizer=None):
         sub = cfg.clone()
         sub.DATASET = ds_cfg
         loaders.append(make_dataloader(sub, task, mode, tokenizer,
-                                       dataset_cfg=ds_cfg))
+                                       dataset_cfg=ds_cfg,
+                                       worker_share=len(cfg.DATASET)))
     return MultiTaskLoader(loaders)

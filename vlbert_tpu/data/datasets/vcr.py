@@ -93,6 +93,7 @@ class VCRDataset:
         self.seq_len = seq_len
         self.tokenizer = tokenizer
         self.transform = transform
+        self.epoch = 0      # set by DataLoader.set_epoch; varies name rolls
         self.database = self.load_annotations(self.ann_file)
         # fixed 81-category COCO list (ref :69-78); the lookup is strict so
         # an unknown object name fails loudly rather than drifting ids
@@ -207,10 +208,13 @@ class VCRDataset:
         # a GLOBAL counter across __getitem__ calls — nondeterministic under
         # parallel loading (per-worker dataset copies, shuffled visit order,
         # and a data race in a thread pool). Names are interchangeable
-        # placeholders, so we rotate deterministically PER SAMPLE, seeded by
-        # the sample index: reproducible for any worker/thread layout.
+        # placeholders, so we rotate deterministically per (epoch, sample):
+        # reproducible for any worker/thread layout, and a given sample
+        # still sees different names each epoch (index-only seeding would
+        # make names a stable per-sample cue the model could memorize,
+        # which the reference's visit-order rotation avoids).
         objects_replace_name = []
-        person_name_id = index % len(GENDER_NEUTRAL_NAMES)
+        person_name_id = (index + self.epoch * 31) % len(GENDER_NEUTRAL_NAMES)
         for o in idb["objects"]:
             if o == "person":
                 objects_replace_name.append(

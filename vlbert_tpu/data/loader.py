@@ -43,7 +43,15 @@ def _worker_init(ds, collate, base_seed):
     _reseed(ds, base_seed + os.getpid())
 
 
-def _worker_batch(batch_idx):
+def _worker_batch(batch_idx, epoch=0):
+    # propagate the loader epoch into the worker's dataset copy (pool
+    # workers received the dataset once at pool creation; epoch-dependent
+    # state like VCR's person-name rotation needs the current value)
+    if getattr(_WORKER_DS, "epoch", None) != epoch:
+        try:
+            _WORKER_DS.epoch = epoch
+        except AttributeError:
+            pass
     samples = [_WORKER_DS[int(i)] for i in batch_idx]
     return _WORKER_COLLATE(samples)
 
@@ -123,6 +131,10 @@ class DataLoader:
 
     def set_epoch(self, epoch):
         self.sampler.set_epoch(epoch)
+        # datasets with epoch-dependent state (e.g. VCR person-name
+        # rotation) read .epoch; worker copies get it via _worker_batch
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch
 
     def _ensure_pool(self):
         if self._pool is None:
@@ -141,7 +153,13 @@ class DataLoader:
             # entry scripts have one).
             method = "forkserver"
             try:
-                pickle.dumps((self.dataset, self.collate_fn))
+                # probe picklability WITHOUT materializing the (potentially
+                # hundreds-of-MB) byte blob: serialize into a null sink
+                class _Null:
+                    def write(self, b):
+                        return len(b)
+
+                pickle.Pickler(_Null()).dump((self.dataset, self.collate_fn))
             except Exception:
                 method = "fork"
             self._pool = ProcessPoolExecutor(
@@ -221,9 +239,11 @@ class DataLoader:
         window = max(self.prefetch, self.num_workers)
         pending = []
         batches = self._batches()
+        epoch = int(getattr(self.sampler, "epoch", 0))
         try:
             for batch_idx in batches:
-                pending.append(pool.submit(_worker_batch, list(batch_idx)))
+                pending.append(pool.submit(_worker_batch, list(batch_idx),
+                                           epoch))
                 if len(pending) >= window:
                     yield pending.pop(0).result()
             while pending:

@@ -107,11 +107,7 @@ def apply_warm_starts(state, config, logger=logger):
     def torch_flat(path, converter):
         if path.endswith(".npz"):
             return cvt.load_torch_or_native_checkpoint(path)
-        import torch
-
-        blob = torch.load(path, map_location="cpu", weights_only=False)
-        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
-        flat, _ = converter(sd)
+        flat, _ = converter(cvt.load_torch_blob(path))
         return flat
 
     params_host = jax.device_get(state.params["params"])
@@ -127,6 +123,48 @@ def apply_warm_starts(state, config, logger=logger):
         logger.info("language warm start %s: %d tensors", lang_path,
                     len(loaded))
     return state.replace(params={**state.params, "params": params_host})
+
+
+def apply_partial_pretrain(state, config):
+    """PARTIAL_PRETRAIN warm start (ref vcr/function/train.py:199-232).
+
+    PREFIX_CHANGES are written in REFERENCE torch naming (e.g.
+    'vlbert->vlbert._module' for the TimeDistributed wrap,
+    'vlbert.mvrc_head.transform->cnn_loss_reg.0'), and the reference
+    applies them to the RAW checkpoint names BEFORE loading. For torch
+    checkpoints we do exactly that (rename raw keys, then convert to flax
+    paths); applying the reference-era rules to already-converted flax
+    names would rename every key to a nonexistent path and load nothing.
+    For native (flax-named) checkpoints the rules are translated into this
+    framework's naming (the DDP/TimeDistributed renames become identities).
+    """
+    if not config.NETWORK.PARTIAL_PRETRAIN:
+        return state
+    from vlbert_tpu.training import convert as cvt
+
+    path = config.NETWORK.PARTIAL_PRETRAIN
+    prefix_changes = [tuple(pc.split("->")) for pc in
+                      config.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES]
+    if path.endswith(cvt.TORCH_CKPT_SUFFIXES):
+        sd = cvt.load_torch_blob(path)
+        sd = cvt.apply_reference_prefix_changes(sd, prefix_changes)
+        flat = cvt.convert_torch_state_dict(sd)
+        load_changes = ()
+    else:
+        flat = cvt.load_torch_or_native_checkpoint(path)
+        load_changes = cvt.translate_prefix_rules_for_native(prefix_changes)
+    if config.TPU.get("FUSED_QKV", False):
+        flat = cvt.fuse_qkv_params(flat)
+    flat = nsp_to_binary_classifier_surgery(flat, config)
+    flat = segmb_init_surgery(flat, config)
+    if config.NETWORK.get("CLASSIFIER_PRETRAINED", False) \
+            and config.NETWORK.CLASSIFIER_TYPE == "mlm":
+        flat = cvt.mlm_transform_to_classifier(flat)
+    new_params, loaded = ckpt_lib.partial_load(
+        jax.device_get(state.params["params"]), flat,
+        prefix_changes=load_changes)
+    logger.info("partial pretrain %s: loaded %d tensors", path, len(loaded))
+    return state.replace(params={**state.params, "params": new_params})
 
 
 def train_net(args, config, task):
@@ -190,33 +228,18 @@ def train_net(args, config, task):
     state, tx, sched = create_train_state(model, sample_init, config,
                                           steps_per_epoch)
 
-    # language (BERT) + image (ResNet) warm starts — ref module ctors
-    state = apply_warm_starts(state, config)
-
-    # partial-pretrain warm start (ref :199-232)
-    if config.NETWORK.PARTIAL_PRETRAIN:
-        from vlbert_tpu.training.convert import (fuse_qkv_params,
-                                                 load_torch_or_native_checkpoint)
-
-        flat = load_torch_or_native_checkpoint(config.NETWORK.PARTIAL_PRETRAIN)
-        if config.TPU.get("FUSED_QKV", False):
-            flat = fuse_qkv_params(flat)
-        prefix_changes = [pc.split("->") for pc in
-                          config.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES]
-        flat = nsp_to_binary_classifier_surgery(flat, config)
-        flat = segmb_init_surgery(flat, config)
-        if config.NETWORK.get("CLASSIFIER_PRETRAINED", False) \
-                and config.NETWORK.CLASSIFIER_TYPE == "mlm":
-            from vlbert_tpu.training.convert import mlm_transform_to_classifier
-
-            flat = mlm_transform_to_classifier(flat)
-        new_params, loaded = ckpt_lib.partial_load(
-            jax.device_get(state.params["params"]), flat,
-            prefix_changes=[tuple(pc) for pc in prefix_changes])
-        state = state.replace(params={**state.params, "params": new_params})
-        logger.info("partial pretrain: loaded %d tensors", len(loaded))
-
     model_prefix = os.path.join(output_path, config.MODEL_PREFIX or "vlbert_tpu")
+    # Warm starts are skipped when a resumable checkpoint exists — the
+    # resume restores every parameter anyway, and the torch loads cost
+    # minutes of I/O per restart on large models. (The reference pays that
+    # cost on every restart; skipping is behavior-identical.)
+    if ckpt_lib.has_resumable_checkpoint(model_prefix, config):
+        logger.info("resumable checkpoint found: skipping BERT/ResNet/"
+                    "PARTIAL_PRETRAIN warm starts")
+    else:
+        # language (BERT) + image (ResNet) warm starts — ref module ctors
+        state = apply_warm_starts(state, config)
+        state = apply_partial_pretrain(state, config)
     state, begin_epoch, extra = ckpt_lib.smart_resume(
         model_prefix, state, config)
 

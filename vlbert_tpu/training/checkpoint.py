@@ -148,3 +148,15 @@ def smart_resume(prefix, state, config):
     if t.AUTO_RESUME:
         return auto_resume(prefix, state, t.END_EPOCH)
     return state, t.BEGIN_EPOCH, {}
+
+
+def has_resumable_checkpoint(prefix, config):
+    """True iff smart_resume would restore a checkpoint — used to skip the
+    (expensive, immediately-overwritten) warm-start loads on restart."""
+    t = config.TRAIN
+    if t.RESUME:
+        return os.path.exists(f"{prefix}-{t.BEGIN_EPOCH - 1:04d}.model")
+    if t.AUTO_RESUME:
+        return any(os.path.exists(f"{prefix}-{e:04d}.model")
+                   for e in range(t.END_EPOCH - 1, -1, -1))
+    return False

@@ -298,24 +298,82 @@ def convert_raw_resnet_checkpoint(sd, target_prefix="image_feature_extractor."):
     return convert_state_dict(remapped)
 
 
+TORCH_CKPT_SUFFIXES = (".model", ".bin", ".pt", ".pth")
+
+
+def load_torch_blob(path):
+    """torch.load + state_dict extraction (the one place this happens)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    return blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+
+
+def convert_torch_state_dict(sd):
+    """Detect raw-BERT vs reference VL-BERT names and convert to flat
+    {flax.path: array}."""
+    if any(k.startswith("bert.") or k.startswith("roberta.")
+           for k in sd.keys()):
+        flat, _ = convert_bert_checkpoint(sd)
+    else:
+        flat, _ = convert_state_dict(sd)
+    return flat
+
+
+def apply_reference_prefix_changes(sd, prefix_changes):
+    """PARTIAL_PRETRAIN_PREFIX_CHANGES on RAW torch checkpoint names,
+    exactly as the reference applies them BEFORE loading
+    (ref vcr/function/train.py:202-214): first matching rule wins, keys
+    matching no rule pass through unchanged."""
+    if not prefix_changes:
+        return sd
+    out = {}
+    for k, v in sd.items():
+        for old, new in prefix_changes:
+            if k.startswith(old):
+                out[new + k[len(old):]] = v
+                break
+        else:
+            out[k] = v
+    return out
+
+
+# reference-era prefix rules -> this framework's flax naming, for prefix
+# changes applied to NATIVE checkpoints (whose keys are already flax paths).
+# The DDP/TimeDistributed renames are identities here (normalize_torch_name
+# collapses them); the mvrc->cnn_loss_reg remap translates submodule paths.
+_NATIVE_RULE_TRANSLATION = {
+    ("vlbert", "vlbert._module"): None,                      # identity
+    ("vlbert.mvrc_head.transform", "cnn_loss_reg.0"):
+        ("vlbert.mvrc_head.transform_dense", "cnn_loss_reg_transform.dense"),
+}
+
+
+def translate_prefix_rules_for_native(prefix_changes):
+    """Translate reference-era PARTIAL_PRETRAIN_PREFIX_CHANGES for use on a
+    native (flax-named) checkpoint. Unknown rules pass through verbatim
+    (assumed already written in flax naming)."""
+    out = []
+    for old, new in prefix_changes:
+        o = old[len("module."):] if old.startswith("module.") else old
+        n = new[len("module."):] if new.startswith("module.") else new
+        if (o, n) in _NATIVE_RULE_TRANSLATION:
+            tr = _NATIVE_RULE_TRANSLATION[(o, n)]
+            if tr is not None and tr not in out:
+                out.append(tr)
+        elif (o, n) not in out:
+            out.append((o, n))
+    return out
+
+
 def load_torch_or_native_checkpoint(path):
     """Load a checkpoint file into a flat {flax.path: array} dict.
 
     Accepts: reference '.model' ({'state_dict': ...}), raw torch bin
     (pytorch_model.bin), or this framework's msgpack checkpoints.
     """
-    if path.endswith(".model") or path.endswith(".bin") or path.endswith(".pt") \
-            or path.endswith(".pth"):
-        import torch
-
-        blob = torch.load(path, map_location="cpu", weights_only=False)
-        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
-        if any(k.startswith("bert.") or k.startswith("roberta.")
-               for k in sd.keys()):
-            flat, _ = convert_bert_checkpoint(sd)
-        else:
-            flat, _ = convert_state_dict(sd)
-        return flat
+    if path.endswith(TORCH_CKPT_SUFFIXES):
+        return convert_torch_state_dict(load_torch_blob(path))
     # native msgpack
     from vlbert_tpu.training.checkpoint import flatten_params, load_checkpoint
 
