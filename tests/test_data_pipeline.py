@@ -908,3 +908,29 @@ def test_vcr_person_names_vary_by_epoch(tmp_path, tok):
     e1_procs = batches(2, 1)
     for a, b in zip(e1_threads[0], e1_procs[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grouped_batch_sampler_deterministic_count():
+    """Every epoch/rank yields EXACTLY n//B (drop) or ceil (no-drop) full
+    batches regardless of group composition — the varying per-rank count is
+    the reference's distributed-RefCOCO deadlock (README.md:137-139)."""
+    from vlbert_tpu.data.loader import GroupedBatchSampler
+
+    rng = np.random.default_rng(0)
+    B = 4
+    for trial in range(20):
+        n = int(rng.integers(8, 40))
+        group_ids = rng.integers(0, 2, size=100)
+        idx = rng.permutation(100)[:n]
+        s = GroupedBatchSampler(idx, group_ids, B, drop_uneven=True)
+        batches = list(s)
+        assert len(batches) == len(s) == n // B, (trial, n)
+        assert all(len(b) == B for b in batches)
+        s2 = GroupedBatchSampler(idx, group_ids, B, drop_uneven=False)
+        batches2 = list(s2)
+        assert len(batches2) == len(s2) == -(-n // B), (trial, n)
+        assert all(len(b) == B for b in batches2)   # wrap-padded, static
+        # full batches are group-homogeneous; only leftover batches may mix
+        full_homog = sum(1 for b in batches2
+                         if len({int(group_ids[int(i)]) for i in b}) == 1)
+        assert full_homog >= len(batches2) - 2      # <= #groups-1 mixed + pad

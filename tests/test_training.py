@@ -699,3 +699,23 @@ def test_translate_prefix_rules_for_native():
     assert out == [("vlbert.mvrc_head.transform_dense",
                     "cnn_loss_reg_transform.dense"),
                    ("custom.a", "custom.b")]
+
+
+def test_plateau_state_survives_restart(tmp_path, monkeypatch):
+    """Plateau detector state rides the checkpoint extra: after a restart
+    the reduced LR scale and best/cooldown history are restored instead of
+    resetting to 1.0 (which would silently 10x the LR)."""
+    from vlbert_tpu.training.optim import ReduceLROnPlateau
+
+    p = ReduceLROnPlateau(factor=0.1, patience=1, threshold=1e-4, cooldown=2)
+    p.step(0.5)           # best=0.5
+    p.step(0.4); p.step(0.4)   # 2 bad epochs > patience -> reduce
+    assert abs(p.scale - 0.1) < 1e-12
+    saved = p.state_dict()
+
+    p2 = ReduceLROnPlateau(factor=0.1, patience=1, threshold=1e-4, cooldown=2)
+    p2.load_state_dict(saved)
+    assert p2.scale == p.scale and p2.best == p.best
+    assert p2.cooldown_counter == p.cooldown_counter
+    # next non-improving step keeps the reduced scale (cooldown active)
+    assert abs(p2.step(0.4) - 0.1) < 1e-12

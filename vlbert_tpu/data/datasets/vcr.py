@@ -117,15 +117,24 @@ class VCRDataset:
         cache_path = os.path.join(cache_root, f"{name}.pkl")
 
         if os.path.exists(cache_path) and not self.ignore_db_cache:
-            with open(cache_path, "rb") as f:
-                return pickle.load(f)
+            try:
+                with open(cache_path, "rb") as f:
+                    return pickle.load(f)
+            except Exception:
+                # concurrent writer or a crash-truncated file: fall through
+                # to the jsonl source instead of poisoning the run
+                pass
 
         database = load_jsonl(ann_file)
         if self.cache_db:
             try:
                 os.makedirs(cache_root, exist_ok=True)
-                with open(cache_path, "wb") as f:
+                # atomic publish: other ranks polling os.path.exists must
+                # never observe a partially-written pickle
+                tmp_path = cache_path + f".tmp.{os.getpid()}"
+                with open(tmp_path, "wb") as f:
                     pickle.dump(database, f)
+                os.replace(tmp_path, cache_path)
             except OSError:
                 pass  # read-only data dir: run uncached
         return database

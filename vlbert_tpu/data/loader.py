@@ -23,24 +23,26 @@ import numpy as np
 
 _WORKER_DS = None
 _WORKER_COLLATE = None
+_WORKER_SEED = 0
 
 
 def _reseed(obj, seed):
-    """Give forked workers independent augmentation RNG streams: any
-    ``rng`` attribute on the dataset or its transform chain (flip RNG,
-    masking RNG) is re-created from the worker seed."""
+    """Re-create augmentation RNG streams (any ``rng`` attribute on the
+    dataset or its transform chain: flip RNG, masking RNG) from ``seed``;
+    each transform gets a distinct stream."""
     if hasattr(obj, "rng"):
         obj.rng = np.random.default_rng(seed)
-    for t in getattr(getattr(obj, "transform", None), "transforms", []):
+    for j, t in enumerate(getattr(getattr(obj, "transform", None),
+                                  "transforms", [])):
         if hasattr(t, "rng"):
-            t.rng = np.random.default_rng(seed + 1)
+            t.rng = np.random.default_rng(seed + 1 + j)
 
 
 def _worker_init(ds, collate, base_seed):
-    global _WORKER_DS, _WORKER_COLLATE
+    global _WORKER_DS, _WORKER_COLLATE, _WORKER_SEED
     _WORKER_DS = ds
     _WORKER_COLLATE = collate
-    _reseed(ds, base_seed + os.getpid())
+    _WORKER_SEED = base_seed
 
 
 def _worker_batch(batch_idx, epoch=0):
@@ -52,6 +54,12 @@ def _worker_batch(batch_idx, epoch=0):
             _WORKER_DS.epoch = epoch
         except AttributeError:
             pass
+    # augmentation RNG seeded per (run seed, epoch, batch) — a run with the
+    # same RNG_SEED replays identical augmentations no matter which worker
+    # the pool scheduler hands each batch to (PID-derived seeds made runs
+    # irreproducible despite the seed plumbing)
+    _reseed(_WORKER_DS, _WORKER_SEED + epoch * 1_000_003
+            + (int(batch_idx[0]) if len(batch_idx) else 0))
     samples = [_WORKER_DS[int(i)] for i in batch_idx]
     return _WORKER_COLLATE(samples)
 
@@ -289,11 +297,21 @@ class MultiTaskLoader:
 
 
 class GroupedBatchSampler:
-    """Batches within aspect-ratio groups, preserving sampler order.
+    """Batches within aspect-ratio groups, preserving sampler order, with a
+    DETERMINISTIC batch count.
 
     ref: pretrain/data/samplers/grouped_batch_sampler.py:9-113 (from
     maskrcnn-benchmark), wired to TRAIN.ASPECT_GROUPING. Groups here are any
     integer labels (the reference uses horizontal/vertical = 0/1).
+
+    Unlike the reference's sampler — whose per-rank batch count depends on
+    each rank's group composition, which is exactly the distributed-RefCOCO
+    deadlock its README warns about (README.md:137-139: ranks desync at the
+    epoch barrier) — every epoch here yields EXACTLY
+    ``len(indices) // batch_size`` (drop_uneven) or ``ceil`` full-size
+    batches on every rank: per-group full batches first, then leftovers of
+    all groups merged (mixed-group, at most #groups-1 such batches) and
+    wrap-padded to the static batch size.
     """
 
     def __init__(self, indices, group_ids, batch_size, drop_uneven=False):
@@ -303,21 +321,30 @@ class GroupedBatchSampler:
         self.drop_uneven = drop_uneven
 
     def __iter__(self):
+        B = self.batch_size
+        target = len(self)
         order = {int(idx): pos for pos, idx in enumerate(self.indices)}
         clusters = {}
         for idx in self.indices:
             g = int(self.group_ids[int(idx)])
             clusters.setdefault(g, []).append(int(idx))
-        batches = []
+        batches, leftovers = [], []
         for g, idxs in clusters.items():
-            for i in range(0, len(idxs), self.batch_size):
-                chunk = idxs[i:i + self.batch_size]
-                if self.drop_uneven and len(chunk) < self.batch_size:
-                    continue
-                batches.append(chunk)
+            n_full = len(idxs) // B
+            for i in range(n_full):
+                batches.append(idxs[i * B:(i + 1) * B])
+            leftovers.extend(idxs[n_full * B:])
+        while len(batches) < target and leftovers:
+            chunk = leftovers[:B]
+            leftovers = leftovers[B:]
+            if len(chunk) < B:   # wrap-pad to the static batch size
+                chunk = list(np.resize(np.asarray(chunk), B))
+            batches.append(chunk)
+        batches = batches[:target]
         # preserve sampler order: sort batches by first element's position
-        batches.sort(key=lambda b: order[b[0]])
+        batches.sort(key=lambda b: order[int(b[0])])
         return iter(batches)
 
     def __len__(self):
-        return sum(1 for _ in iter(self))
+        n, B = len(self.indices), self.batch_size
+        return n // B if self.drop_uneven else -(-n // B)

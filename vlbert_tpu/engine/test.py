@@ -66,12 +66,20 @@ def _n_labels(config, task, mode):
 
 
 def setup_inference(config, task, ckpt_path, mode="test"):
-    """Build (model, params, jitted infer fn, loader, mesh) for a task."""
-    mesh = make_mesh(config.TPU.MESH_SHAPE, config.TPU.MESH_AXES)
+    """Build (model, params, jitted infer fn, loader, mesh) for a task.
+
+    Test/val drivers run on ONE process (the reference runs rank-0 test
+    with single-process DataParallel, vcr/train_end2end.py:51-56), so the
+    mesh spans only this process's devices and the loader is unsharded —
+    a global mesh + per-process loader shards would hang rank 0 on the
+    collective batch assembly and mislabel every other row.
+    """
+    mesh = make_mesh(None, ("data",), devices=jax.local_devices())
     tokenizer = BertTokenizer.from_pretrained(config.NETWORK.BERT_MODEL_NAME)
     dtype = jnp.bfloat16 if config.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     model = build_module(config, task, dtype=dtype)
-    loader = make_dataloader(config, task, mode, tokenizer)
+    loader = make_dataloader(config, task, mode, tokenizer,
+                             num_replicas=1, rank=0)
 
     n_label = _n_labels(config, task, mode)
     sample = next(iter(loader))

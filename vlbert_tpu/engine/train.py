@@ -249,10 +249,10 @@ def train_net(args, config, task):
 
         validation_fn = make_validation_fn(model, config, task, mesh)
 
-    def checkpoint_fn(st, epoch, best_val, is_best):
+    def checkpoint_fn(st, epoch, extra_dict, is_best):
         if rank == 0:
             path = ckpt_lib.save_checkpoint(model_prefix, epoch, st,
-                                            extra={"best_val": best_val})
+                                            extra=extra_dict)
             # -best.model mirrors only the best-val epoch (ref checkpoint.py:
             # 10-25 keyed on validation_monitor.best_epoch); without
             # validation, every save is "best" (nothing else to rank by)
@@ -273,7 +273,8 @@ def train_net(args, config, task):
                 checkpoint_fn=checkpoint_fn, validation_fn=validation_fn,
                 begin_epoch=begin_epoch, writer=writer,
                 profile_dir=getattr(args, "profile_dir", None),
-                best_val=extra.get("best_val"))
+                best_val=extra.get("best_val"),
+                plateau_state=extra.get("plateau"))
     if writer is not None:
         writer.close()
     return state

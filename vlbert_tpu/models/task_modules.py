@@ -268,43 +268,55 @@ class ResNetVLBERTForVCR(nn.Module):
         if not train:
             return outputs
 
+        ans_loss, pos_frac = self._choice_loss(logits, answer_label, C)
+        if pos_frac is not None:
+            outputs["positive_fraction"] = pos_frac
+        outputs.update(label=answer_label, ans_loss=ans_loss)
+        loss = ans_loss * net.ANS_LOSS_WEIGHT
+
+        cnn_reg, loss = self._cnn_reg_loss(
+            loss, obj_reps, h_obj, box_mask_c, objects, B, C, O,
+            deterministic)
+        if cnn_reg is not None:
+            outputs["cnn_regularization_loss"] = cnn_reg
+        return outputs, loss
+
+    def _choice_loss(self, logits, answer_label, C):
+        """Per-choice loss: sigmoid BCE with positive weight
+        (CLASSIFIER_SIGMOID, ref :349-361) or softmax CE over choices."""
+        net = self.config.NETWORK
         if net.CLASSIFIER_SIGMOID:
-            # per-choice sigmoid BCE with positive weight (ref :349-361)
             label_binary = (jnp.arange(C)[None, :] ==
                             answer_label[:, None].astype(jnp.int32))
             pw = net.CLASSIFIER_SIGMOID_LOSS_POSITIVE_WEIGHT
             weight = jnp.where(label_binary, pw, 1.0)
             rescale = (pw + 1.0) / (2.0 * pw)
-            ans_loss = rescale * losses.bce_with_logits(
+            loss = rescale * losses.bce_with_logits(
                 logits, label_binary.astype(jnp.float32), weight)
-            outputs["positive_fraction"] = jnp.mean(
-                label_binary.astype(jnp.float32))
+            return loss, jnp.mean(label_binary.astype(jnp.float32))
+        return losses.cross_entropy(logits, answer_label), None
+
+    def _cnn_reg_loss(self, loss, obj_reps, h_obj, box_mask_c, objects,
+                      B, C, O, deterministic):
+        """Add the CNN regularization loss (ref :387-397) to ``loss``."""
+        net = self.config.NETWORK
+        if not (self.enable_cnn_reg_loss and not net.BLIND):
+            return None, loss
+        if not self.cnn_loss_top:
+            cnn_reg = obj_reps["cnn_regularization_loss"]
         else:
-            ans_loss = losses.cross_entropy(logits, answer_label)
-
-        outputs.update(label=answer_label, ans_loss=ans_loss)
-        loss = ans_loss * net.ANS_LOSS_WEIGHT
-
-        if self.enable_cnn_reg_loss and not net.BLIND:
-            if not self.cnn_loss_top:
-                loss = loss + (obj_reps["cnn_regularization_loss"]
-                               * net.CNN_LOSS_WEIGHT)
-                outputs["cnn_regularization_loss"] = obj_reps["cnn_regularization_loss"]
-            else:
-                # classifier on object hidden states (ref :391-397)
-                h = self.cnn_loss_transform(h_obj.reshape(B, C, O, -1))
-                h = self.cnn_loss_dropout(h, deterministic=deterministic)
-                reg_logits = self.cnn_loss_fc(h).astype(jnp.float32)
-                labels = jnp.broadcast_to(
-                    objects.astype(jnp.int32)[:, None], (B, C, O))
-                m = box_mask_c.astype(jnp.float32)
-                logp = jax.nn.log_softmax(reg_logits, axis=-1)
-                nll = -jnp.take_along_axis(
-                    logp, labels[..., None], axis=-1)[..., 0]
-                cnn_reg = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
-                loss = loss + cnn_reg * net.CNN_LOSS_WEIGHT
-                outputs["cnn_regularization_loss"] = cnn_reg
-        return outputs, loss
+            # classifier on object hidden states (ref :391-397)
+            h = self.cnn_loss_transform(h_obj.reshape(B, C, O, -1))
+            h = self.cnn_loss_dropout(h, deterministic=deterministic)
+            reg_logits = self.cnn_loss_fc(h).astype(jnp.float32)
+            labels = jnp.broadcast_to(
+                objects.astype(jnp.int32)[:, None], (B, C, O))
+            m = box_mask_c.astype(jnp.float32)
+            logp = jax.nn.log_softmax(reg_logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, labels[..., None], axis=-1)[..., 0]
+            cnn_reg = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return cnn_reg, loss + cnn_reg * net.CNN_LOSS_WEIGHT
 
 
 class ResNetVLBERTForVCRQ2AR(ResNetVLBERTForVCR):
@@ -334,11 +346,13 @@ class ResNetVLBERTForVCRQ2AR(ResNetVLBERTForVCR):
                  rationale_tags, rationale_mask, im_info,
                  answer_label=None, rationale_label=None, train=True):
         net = self.config.NETWORK
+        B, C, T = text_input_ids.shape
+        O = box_mask.shape[1]
         deterministic = not train
 
         obj_reps = self.extract_obj_reps(
             image, boxes, objects, segms, box_mask, im_info, deterministic)
-        a_logits, _, _ = self.choice_logits(
+        a_logits, h_obj, box_mask_c = self.choice_logits(
             obj_reps, objects, box_mask, text_input_ids,
             text_token_type_ids, text_tags, text_mask, self.final_mlp,
             deterministic)
@@ -351,11 +365,24 @@ class ResNetVLBERTForVCRQ2AR(ResNetVLBERTForVCR):
         if not train:
             return outputs
 
-        ans_loss = losses.cross_entropy(a_logits, answer_label)
-        rationale_loss = losses.cross_entropy(r_logits, rationale_label)
+        # each stream uses the configured per-choice loss with its own
+        # ANS_LOSS_WEIGHT, exactly as the two separate reference models
+        # (Q2A + QA2R) would apply to their answer streams
+        ans_loss, pos_frac = self._choice_loss(a_logits, answer_label, C)
+        rationale_loss, _ = self._choice_loss(r_logits, rationale_label, C)
+        if pos_frac is not None:
+            outputs["positive_fraction"] = pos_frac
         outputs.update(label=answer_label, rationale_label=rationale_label,
                        ans_loss=ans_loss, rationale_loss=rationale_loss)
         loss = (ans_loss + rationale_loss) * net.ANS_LOSS_WEIGHT
+
+        # CNN reg over the shared visual path, applied once (the answer
+        # pass's object hidden states stand in for cnn_loss_top)
+        cnn_reg, loss = self._cnn_reg_loss(
+            loss, obj_reps, h_obj, box_mask_c, objects, B, C, O,
+            deterministic)
+        if cnn_reg is not None:
+            outputs["cnn_regularization_loss"] = cnn_reg
         return outputs, loss
 
 

@@ -58,7 +58,11 @@ def shard_batch(batch, mesh, batch_dim=0):
     no data crosses DCN.
     """
     sh = batch_sharding(mesh, batch_dim)
-    multiprocess = jax.process_count() > 1
+    # decide by the MESH, not the global process count: a rank-0-only eval
+    # over jax.local_devices() must use plain device_put even in a
+    # multi-host job (make_array_from_process_local_data is collective and
+    # would hang the one participating process)
+    multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
 
     def put(x):
         if x is None:

@@ -188,7 +188,7 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
         val_loader=None, mesh=None, state=None, tx=None,
         checkpoint_fn=None, validation_fn=None, rng=None,
         begin_epoch=None, end_epoch=None, writer=None, profile_dir=None,
-        best_val=None):
+        best_val=None, plateau_state=None):
     """Host training loop (ref common/trainer.py:56-195).
 
     train_loader: iterable of batches (tuples of np arrays, already shaped
@@ -252,6 +252,13 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
 
         plateau = ReduceLROnPlateau(factor=config.TRAIN.LR_FACTOR,
                                     patience=1, threshold=1e-4, cooldown=2)
+        # restore detector state from the checkpoint `extra` so a restart
+        # neither resets the reduced LR back to 1.0 nor loses the
+        # best/cooldown history (the reference restores the reduced LR via
+        # the torch optimizer state but loses patience counters; saving the
+        # full detector is strictly better and costs 4 floats)
+        if plateau_state:
+            plateau.load_state_dict(plateau_state)
 
     global_step = int(state.step)
     profiling = False
@@ -338,5 +345,8 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                             state.opt_state, new_scale))
             if checkpoint_fn is not None \
                     and (epoch + 1) % max(config.CHECKPOINT_FREQUENT, 1) == 0:
-                checkpoint_fn(state, epoch, best_val, is_best)
+                extra = {"best_val": best_val}
+                if plateau is not None:
+                    extra["plateau"] = plateau.state_dict()
+                checkpoint_fn(state, epoch, extra, is_best)
     return state
