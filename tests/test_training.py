@@ -719,3 +719,33 @@ def test_plateau_state_survives_restart(tmp_path, monkeypatch):
     assert p2.cooldown_counter == p.cooldown_counter
     # next non-improving step keeps the reduced scale (cooldown active)
     assert abs(p2.step(0.4) - 0.1) < 1e-12
+
+
+def test_schedule_units_with_grad_accum():
+    """steps_per_epoch arrives in OPTIMIZER steps (loader folds accum), so
+    milestones/t_total must NOT be divided by accum again. Regression: the
+    double division made triangle decay to 0 a quarter of the way through a
+    4-accum run (75% of training at LR=0)."""
+    cfg = default_config("vcr")
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.BATCH_IMAGES = 1
+    cfg.TRAIN.GRAD_ACCUMULATE_STEPS = 4
+    cfg.TRAIN.LR_SCHEDULE = "triangle"
+    cfg.TRAIN.END_EPOCH = 10
+    cfg.TRAIN.WARMUP = True
+    cfg.TRAIN.WARMUP_STEPS = 100
+    cfg._world_size = 1
+    spe = 100   # optimizer steps per epoch
+    sched, base_lr = make_lr_schedule(cfg, steps_per_epoch=spe)
+    # t_total = 10 * 100 = 1000 optimizer steps: LR at midpoint ~ base/2
+    np.testing.assert_allclose(float(sched(550)), base_lr * 0.5, rtol=1e-4)
+    assert float(sched(990)) > 0.0          # NOT decayed to zero early
+    assert float(sched(260)) > base_lr * 0.7  # was 0 under the old /accum
+
+    cfg.TRAIN.LR_SCHEDULE = "step"
+    cfg.TRAIN.LR_STEP = (2.0, 4.0)
+    cfg.TRAIN.LR_FACTOR = 0.1
+    cfg.TRAIN.WARMUP_STEPS = 10
+    sched, base_lr = make_lr_schedule(cfg, steps_per_epoch=spe)
+    np.testing.assert_allclose(float(sched(150)), base_lr, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(250)), base_lr * 0.1, rtol=1e-6)

@@ -82,16 +82,25 @@ class ShardedSampler:
         self.epoch = epoch
 
     def indices(self):
+        return self.indices_with_valid()[0]
+
+    def indices_with_valid(self):
+        """(indices, valid): valid[i] is False for wrap-padding duplicates
+        (positions past the true dataset length after pad-to-divisible)."""
         if self.shuffle:
             g = np.random.default_rng(self.seed + self.epoch)
             idx = g.permutation(self.n)
         else:
             idx = np.arange(self.n)
+        valid = np.ones(self.n, bool)
         # pad to divisible (wrap around, ref :47-49); np.resize tiles, so
         # datasets smaller than a shard still pad fully
         if self.total > self.n:
             idx = np.resize(idx, self.total)
-        return idx[self.rank::self.num_replicas]
+            valid = np.concatenate(
+                [valid, np.zeros(self.total - self.n, bool)])
+        return idx[self.rank::self.num_replicas], \
+            valid[self.rank::self.num_replicas]
 
 
 class DataLoader:
@@ -192,24 +201,51 @@ class DataLoader:
             else -(-n // self.batch_size)
 
     def _batches(self):
-        idx = self.sampler.indices()
+        for batch_idx, _valid in self._batches_with_valid():
+            yield batch_idx
+
+    def _batches_with_valid(self):
+        """Yield (batch_idx, valid) where valid[i] is False for every
+        wrap-padding duplicate (sampler pad-to-divisible across hosts and
+        the final-batch pad). Metrics mask by this so padded duplicates
+        never bias validation."""
+        idx, valid = self.sampler.indices_with_valid()
         if self.group_ids is not None:
-            yield from GroupedBatchSampler(
-                idx, self.group_ids, self.batch_size,
-                drop_uneven=self.drop_last)
+            for chunk in GroupedBatchSampler(
+                    idx, self.group_ids, self.batch_size,
+                    drop_uneven=self.drop_last):
+                # grouped wrap-pads reuse real samples; count only the
+                # first occurrence of each index within the batch
+                seen, v = set(), []
+                for i in chunk:
+                    v.append(int(i) not in seen)
+                    seen.add(int(i))
+                yield chunk, np.asarray(v, bool)
             return
-        if not self.drop_last and len(idx) % self.batch_size:
+        B = self.batch_size
+        if not self.drop_last and len(idx) % B:
             # pad by wrapping so every batch is full (static shapes); the
             # reference's DistributedSampler pads to divisibility the same
             # way (ref distributed.py:47-49). np.resize tiles, covering
             # datasets smaller than one batch.
-            n_full = -(-len(idx) // self.batch_size) * self.batch_size
+            n_full = -(-len(idx) // B) * B
+            pad = n_full - len(idx)
             idx = np.resize(idx, n_full)
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
         nb = len(self)
         for b in range(nb):
-            yield idx[b * self.batch_size:(b + 1) * self.batch_size]
+            yield idx[b * B:(b + 1) * B], valid[b * B:(b + 1) * B]
 
     def __iter__(self):
+        for batch, _valid in self._iter_pairs():
+            yield batch
+
+    def iter_with_valid(self):
+        """Iterate (batch, valid) pairs; valid marks wrap-padding duplicates
+        (validation masks metrics by it)."""
+        return self._iter_pairs()
+
+    def _iter_pairs(self):
         if self.num_workers > 0:
             yield from self._iter_processes()
             return
@@ -221,10 +257,10 @@ class DataLoader:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(self.num_threads) as pool:
-                    for batch_idx in self._batches():
+                    for batch_idx, valid in self._batches_with_valid():
                         samples = list(pool.map(
                             self.dataset.__getitem__, batch_idx))
-                        q.put(self.collate_fn(samples))
+                        q.put((self.collate_fn(samples), valid))
             except BaseException as e:  # surface worker errors
                 q.put(e)
             finally:
@@ -246,18 +282,19 @@ class DataLoader:
         pool = self._ensure_pool()
         window = max(self.prefetch, self.num_workers)
         pending = []
-        batches = self._batches()
         epoch = int(getattr(self.sampler, "epoch", 0))
         try:
-            for batch_idx in batches:
-                pending.append(pool.submit(_worker_batch, list(batch_idx),
-                                           epoch))
+            for batch_idx, valid in self._batches_with_valid():
+                pending.append((pool.submit(_worker_batch, list(batch_idx),
+                                            epoch), valid))
                 if len(pending) >= window:
-                    yield pending.pop(0).result()
+                    f, v = pending.pop(0)
+                    yield f.result(), v
             while pending:
-                yield pending.pop(0).result()
+                f, v = pending.pop(0)
+                yield f.result(), v
         except BaseException:
-            for f in pending:
+            for f, _v in pending:
                 f.cancel()
             raise
 

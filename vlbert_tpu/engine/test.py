@@ -26,8 +26,7 @@ logger = logging.getLogger(__name__)
 
 
 def _load_params(config, state_params, ckpt_path):
-    if ckpt_path.endswith((".model", ".bin", ".pt", ".pth")) \
-            and not _is_native(ckpt_path):
+    def load_torch():
         from vlbert_tpu.training.convert import (fuse_qkv_params,
                                                  load_torch_or_native_checkpoint)
 
@@ -38,22 +37,32 @@ def _load_params(config, state_params, ckpt_path):
             jax.device_get(state_params["params"]), flat)
         logger.info("loaded %d tensors from %s", len(loaded), ckpt_path)
         return {**state_params, "params": new_params}
-    payload = ckpt_lib.load_checkpoint(ckpt_path)
-    import flax.serialization
 
-    params = flax.serialization.from_state_dict(
-        jax.device_get(state_params), payload["params"])
-    return params
+    def load_native():
+        payload = ckpt_lib.load_checkpoint(ckpt_path)
+        import flax.serialization
 
+        return flax.serialization.from_state_dict(
+            jax.device_get(state_params), payload["params"])
 
-def _is_native(path):
+    if not ckpt_path.endswith((".model", ".bin", ".pt", ".pth")):
+        return load_native()
+    # '.model' is both the reference torch format and this framework's
+    # native format. Byte-sniffing is ambiguous (legacy pre-1.6 torch
+    # pickles start with 0x80 just like msgpack maps), so: PK zip header =
+    # torch; otherwise try native msgpack and fall back to the torch loader
+    # on any parse failure.
     try:
-        with open(path, "rb") as f:
+        with open(ckpt_path, "rb") as f:
             head = f.read(2)
-        # torch zip checkpoints start with PK; msgpack maps with 0x8n/0xde
-        return head[:2] != b"PK" and head[0] >= 0x80
     except OSError:
-        return False
+        head = b""
+    if head[:2] == b"PK":
+        return load_torch()
+    try:
+        return load_native()
+    except Exception:
+        return load_torch()
 
 
 def _n_labels(config, task, mode):
@@ -126,6 +135,10 @@ def test_net_vqa(config, ckpt_path, answer_vocab, output_path, mode="test"):
     results, loader = run_inference(config, "vqa", ckpt_path, mode)
     answers = []
     db = loader.dataset.database
+    # the dataset's vocab is the one the model indexed against; a separately
+    # parsed file could silently desync the leaderboard answer strings
+    answer_vocab = getattr(loader.dataset, "answer_vocab", answer_vocab) \
+        or answer_vocab
     i = 0
     for out in results:
         logits = out["label_logits"]

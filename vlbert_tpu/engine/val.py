@@ -28,24 +28,34 @@ def make_validation_fn(model, config, task, mesh):
         label_map = {"label": -2, "rationale_label": -1}
     n_labels = len(label_map)
 
-    def eval_step(params, model_inputs, labels):
+    def eval_step(params, model_inputs, labels, valid):
         outputs = dict(model.apply(params, *model_inputs, train=False))
         outputs.update(labels)
+        outputs["valid"] = valid   # mask wrap-padding duplicates
         return metrics_lib.device_metrics(task, config, outputs)
 
     jit_eval = jax.jit(eval_step)
 
     def validation_fn(state, val_loader):
         acc = metrics_lib.HostAccumulator()
+        pairs = val_loader.iter_with_valid() \
+            if hasattr(val_loader, "iter_with_valid") \
+            else ((b, None) for b in val_loader)
         with mesh:
-            for batch in val_loader:
-                batch = shard_batch(batch, mesh)
+            for batch, valid in pairs:
+                if valid is None:
+                    import numpy as np
+
+                    first = next(x for x in batch if x is not None)
+                    valid = np.ones(np.shape(first)[0], bool)
+                batch = shard_batch(tuple(batch) + (valid,), mesh)
+                batch, valid = batch[:-1], batch[-1]
                 if n_labels:
                     model_inputs = batch[:-n_labels]
                     labels = {k: batch[idx] for k, idx in label_map.items()}
                 else:
                     model_inputs, labels = batch, {}
-                dm = jit_eval(state.params, model_inputs, labels)
+                dm = jit_eval(state.params, model_inputs, labels, valid)
                 acc.update(jax.device_get(dm))
         return acc.get()
 

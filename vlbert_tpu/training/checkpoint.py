@@ -78,7 +78,7 @@ def flatten_params(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            out.update(flatten_params(v, f"{prefix}{k}." if prefix or True else k))
+            out.update(flatten_params(v, f"{prefix}{k}."))
     else:
         out[prefix[:-1]] = tree
     return out

@@ -18,13 +18,25 @@ import jax.numpy as jnp
 
 # ------------------------------------------------------------ device parts
 
+def _sample_valid(outputs, B):
+    """Per-sample validity [B]: 1 for real samples, 0 for the loader's
+    wrap-padding duplicates (only validation batches carry 'valid' —
+    training counts every sample, as the reference does)."""
+    v = outputs.get("valid")
+    if v is None:
+        return jnp.ones((B,), jnp.float32), float(B)
+    vf = v.astype(jnp.float32)
+    return vf, jnp.sum(vf)
+
+
 def vcr_accuracy(outputs):
     """ref: vcr_metrics.py:24-33 (handles per-choice sigmoid logits too —
     logits here are always [B, C] after the module reshapes)."""
     logits = outputs["label_logits"]
     label = outputs["label"]
+    vf, n = _sample_valid(outputs, logits.shape[0])
     correct = (jnp.argmax(logits, axis=1) == label).astype(jnp.float32)
-    return jnp.sum(correct), logits.shape[0]
+    return jnp.sum(correct * vf), n
 
 
 def vcr_rationale_accuracy(outputs):
@@ -32,8 +44,9 @@ def vcr_rationale_accuracy(outputs):
     stream; single-model Q2AR emits both logit sets)."""
     logits = outputs["rationale_logits"]
     label = outputs["rationale_label"]
+    vf, n = _sample_valid(outputs, logits.shape[0])
     correct = (jnp.argmax(logits, axis=1) == label).astype(jnp.float32)
-    return jnp.sum(correct), logits.shape[0]
+    return jnp.sum(correct * vf), n
 
 
 def vcr_joint_accuracy(outputs):
@@ -42,26 +55,29 @@ def vcr_joint_accuracy(outputs):
     a_ok = jnp.argmax(outputs["label_logits"], axis=1) == outputs["label"]
     r_ok = (jnp.argmax(outputs["rationale_logits"], axis=1)
             == outputs["rationale_label"])
+    vf, n = _sample_valid(outputs, a_ok.shape[0])
     correct = (a_ok & r_ok).astype(jnp.float32)
-    return jnp.sum(correct), correct.shape[0]
+    return jnp.sum(correct * vf), n
 
 
 def vqa_soft_accuracy(outputs):
     """ref: vqa_metrics.py:20-31 — soft score of the argmax answer."""
     logits = outputs["label_logits"]
     label = outputs["label"]
+    vf, n = _sample_valid(outputs, logits.shape[0])
     idx = jnp.argmax(logits, axis=1)
     score = jnp.take_along_axis(label, idx[:, None], axis=1)[:, 0]
-    return jnp.sum(score.astype(jnp.float32)), logits.shape[0]
+    return jnp.sum(score.astype(jnp.float32) * vf), n
 
 
 def refcoco_accuracy(outputs):
     """ref: refcoco_metrics.py:17-31 — argmax region is a positive region."""
     logits = outputs["label_logits"]
     label = outputs["label"]
+    vf, n = _sample_valid(outputs, logits.shape[0])
     idx = jnp.argmax(logits, axis=1)
     hit = jnp.take_along_axis(label, idx[:, None], axis=1)[:, 0] > 0.5
-    return jnp.sum(hit.astype(jnp.float32)), logits.shape[0]
+    return jnp.sum(hit.astype(jnp.float32) * vf), n
 
 
 def refcoco_cls_accuracy(outputs):
@@ -69,7 +85,8 @@ def refcoco_cls_accuracy(outputs):
     valid slots (label >= 0)."""
     logits = outputs["label_logits"]
     label = outputs["label"]
-    valid = label >= 0
+    vf, _ = _sample_valid(outputs, label.shape[0])
+    valid = (label >= 0) & (vf[:, None] > 0)
     pred = logits > 0
     correct = (pred == (label > 0.5)) & valid
     return (jnp.sum(correct.astype(jnp.float32)),
@@ -81,7 +98,8 @@ def refcoco_cls_pos_accuracy(outputs):
     regions only."""
     logits = outputs["label_logits"]
     label = outputs["label"]
-    pos = label > 0.5
+    vf, _ = _sample_valid(outputs, label.shape[0])
+    pos = (label > 0.5) & (vf[:, None] > 0)
     correct = (logits > 0) & pos
     return (jnp.sum(correct.astype(jnp.float32)),
             jnp.sum(pos.astype(jnp.float32)))
@@ -91,8 +109,9 @@ def refcoco_cls_pos_fraction(outputs):
     """ref: refcoco_metrics.py ClsPosFraction — fraction of valid regions
     that are positive."""
     label = outputs["label"]
-    valid = label >= 0
-    pos = label > 0.5
+    vf, _ = _sample_valid(outputs, label.shape[0])
+    valid = (label >= 0) & (vf[:, None] > 0)
+    pos = (label > 0.5) & (vf[:, None] > 0)
     return (jnp.sum(pos.astype(jnp.float32)),
             jnp.sum(valid.astype(jnp.float32)))
 
@@ -143,6 +162,15 @@ HOST_METRIC_NAME = {"vcr": "Acc", "vqa": "SoftAcc", "refcoco": "RefAcc",
 
 
 def host_metric_name(task, config=None):
+    if task == "pretrain" and config is not None \
+            and not config.NETWORK.WITH_MLM_LOSS:
+        # MLMAcc doesn't exist without the MLM task: best-checkpoint
+        # selection would compare -inf forever (never mirroring -best.model,
+        # and plateau would cut the LR every patience window)
+        if config.NETWORK.WITH_MVRC_LOSS:
+            return "MVRCAcc"
+        if config.NETWORK.WITH_REL_LOSS:
+            return "RelAcc"
     return HOST_METRIC_NAME[task]
 
 

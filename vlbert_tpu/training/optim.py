@@ -43,8 +43,15 @@ def make_lr_schedule(config, steps_per_epoch):
     warmup_factor = t.WARMUP_FACTOR
     warmup_method = t.WARMUP_METHOD
 
+    # NOTE: steps_per_epoch arrives in OPTIMIZER steps (the loader folds
+    # GRAD_ACCUMULATE_STEPS into each host batch and the train step scans
+    # the microbatches), which is also the unit of the schedule counter.
+    # The reference divides len(train_loader) by accum to get the same unit
+    # (vcr/function/train.py:295-298) — dividing AGAIN here would shrink
+    # every horizon accum-fold (triangle would decay to 0 a quarter of the
+    # way through a 4-accum run).
     if t.LR_SCHEDULE == "step":
-        milestones = [int(e * steps_per_epoch / accum) for e in t.LR_STEP]
+        milestones = [int(e * steps_per_epoch) for e in t.LR_STEP]
 
         def sched(step):
             lr = base_lr
@@ -63,7 +70,7 @@ def make_lr_schedule(config, steps_per_epoch):
         return sched, base_lr
 
     if t.LR_SCHEDULE == "triangle":
-        t_total = int(t.END_EPOCH * steps_per_epoch / accum)
+        t_total = int(t.END_EPOCH * steps_per_epoch)
 
         def sched(step):
             # ref optimization.py:49-62
@@ -290,10 +297,11 @@ def make_optimizer(config, params, steps_per_epoch):
 
     Update rule layout (applied left to right):
       clip -> [coupled-wd for SGD/Adam] -> moment transform ->
-      [decoupled-wd for AdamW] -> lr-mult tree -> -lr(step)*lr_scale ->
-      trainable mask.
-    lr_scale (plateau) enters through optax.inject_hyperparams-free design:
-    the caller scales the schedule output via state.lr_scale (training/loop).
+      [decoupled-wd for AdamW] -> lr-mult tree -> -lr(step) ->
+      [plateau scale] -> trainable mask.
+    The plateau factor lives as the ``plateau_scale`` leaf of the
+    _scale_by_plateau opt-state (see below); the host rewrites it between
+    epochs via set_plateau_scale (training/loop.py).
     """
     t = config.TRAIN
     sched, base_lr = make_lr_schedule(config, steps_per_epoch)
