@@ -64,6 +64,19 @@ def assemble_qa_text(q_ids, q_tags, a_ids, a_tags, max_len, cls_id, sep_id,
     """
     q_ids, a_ids = list(q_ids), list(a_ids)
     q_tags, a_tags = list(q_tags), list(a_tags)
+    # Truncate CONTENT, never structure: an overlong question must not clip
+    # the [SEP]/answer tail (VQA's [MASK] slot lives there — ans_pos would
+    # otherwise point at a question token and the answer head would gather
+    # garbage). Longest side shrinks first, like the reference's joint
+    # policy (ref vcr/data/datasets/vcr.py:321-343).
+    n_special = 2 if one_sent else 3
+    while len(q_ids) + len(a_ids) + n_special > max_len:
+        if not q_ids and not a_ids:
+            break
+        if len(q_ids) >= len(a_ids) and q_ids:
+            q_ids.pop(); q_tags.pop()
+        else:
+            a_ids.pop(); a_tags.pop()
     ids = np.zeros(max_len, np.int32)
     types = np.zeros(max_len, np.int32)
     tags = np.zeros(max_len, np.int32)

@@ -56,12 +56,17 @@ class BertLayerNorm(nn.Module):
 
     epsilon: float = 1e-12
     out_dtype: Any = None
+    scale_init_value: float = 1.0   # visual_ln_* initialize scale to a
+                                    # learned constant (ref vl_bert :72-74)
 
     @nn.compact
     def __call__(self, x):
         out_dtype = self.out_dtype or x.dtype
         dim = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        scale = self.param(
+            "scale",
+            lambda rng, s: jnp.full(s, self.scale_init_value, jnp.float32),
+            (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)

@@ -110,7 +110,12 @@ class FastRCNN(nn.Module):
                     feat.astype(jnp.float32), axis=(2, 3))  # [B, O, 2048]
             else:
                 post_roialign = feat
-            if 5 in self.frozen_stages:              # ref :95-98
+            # stage-5 freezing = requires_grad=False on HEAD params only
+            # (ref :95-98); handled by the optimizer mask (optim.py
+            # trainable_mask) so gradients still FLOW THROUGH the head to
+            # stages 3-4. stop_gradient here is only a backward-DCE
+            # optimization, valid when everything upstream is frozen too.
+            if {3, 4, 5} <= set(self.frozen_stages):
                 post_roialign = jax.lax.stop_gradient(post_roialign)
 
         obj_labels = classes.astype(jnp.int32) if classes is not None else None

@@ -130,10 +130,12 @@ class VisualLinguisticBert(nn.Module):
 
         if c.visual_ln:
             # LN scale initialized to visual_scale_*_init (ref :72-74)
-            self.visual_ln_text = _ScaledLayerNorm(
-                c.visual_scale_text_init, name="visual_ln_text")
-            self.visual_ln_object = _ScaledLayerNorm(
-                c.visual_scale_object_init, name="visual_ln_object")
+            self.visual_ln_text = BertLayerNorm(
+                scale_init_value=c.visual_scale_text_init,
+                name="visual_ln_text")
+            self.visual_ln_object = BertLayerNorm(
+                scale_init_value=c.visual_scale_object_init,
+                name="visual_ln_object")
         else:
             self.visual_scale_text = self.param(
                 "visual_scale_text",
@@ -278,10 +280,13 @@ class VisualLinguisticBert(nn.Module):
 
             def split(layer):
                 # free static slices replace the scatter re-split (ref :146-166);
-                # masked object slots are zeroed to match the reference's
-                # new_zeros buffer (ref :155-157)
-                text_out = layer[:, :T]
-                obj_out = layer[:, T:T + O] * object_mask[..., None].astype(layer.dtype)
+                # masked TEXT and object slots are both zeroed to match the
+                # reference's new_zeros buffers (ref :147-157) — consumers
+                # that pool/sum over the stream must not see padding
+                text_out = layer[:, :T] \
+                    * text_mask[..., None].astype(layer.dtype)
+                obj_out = layer[:, T:T + O] \
+                    * object_mask[..., None].astype(layer.dtype)
                 return text_out, obj_out
 
             if output_all_encoded_layers:
@@ -300,23 +305,6 @@ class VisualLinguisticBert(nn.Module):
         return out, pooled
 
 
-class _ScaledLayerNorm(nn.Module):
-    """LayerNorm whose scale initializes to a constant (ref :72-74)."""
-
-    scale_init_value: float
-
-    @nn.compact
-    def __call__(self, x):
-        dim = x.shape[-1]
-        scale = self.param(
-            "scale", lambda rng, s: jnp.full(s, self.scale_init_value, jnp.float32),
-            (dim,))
-        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + 1e-12)
-        return (y * scale + bias).astype(x.dtype)
 
 
 class VisualLinguisticBertMVRCHead(nn.Module):

@@ -39,9 +39,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# static cap on the adaptive sampling grid; ceil(roi_size/P) with inputs
-# <= ~1400px at stride 16 and P=14 gives grids <= 7; 8 is safe and padded work
-# is masked out, so this only affects speed, never values.
+# Static cap on the sampling grid. Adaptive grids are ceil(roi_size/P):
+# inputs <= ~1400px at stride 16 with P=14 give grids <= 7, so the clamp is
+# never hit by any shipped config. If an ROI ever exceeds MAX_GRID*P feature
+# pixels the clamped grid averages FEWER samples than the CUDA reference
+# (values differ, not just speed); raise MAX_GRID for such workloads.
+# Explicit sampling_ratio > MAX_GRID is rejected outright — silently
+# clamping it would mis-normalize the bin average.
 MAX_GRID = 8
 
 
@@ -101,6 +105,11 @@ def roi_align_weights(boxes, fm_h, fm_w, pooled_h, pooled_w,
     roi_w = jnp.maximum(x2 - x1, 1.0)                       # ref :92-93
     roi_h = jnp.maximum(y2 - y1, 1.0)
 
+    if sampling_ratio > MAX_GRID:
+        raise ValueError(
+            f"sampling_ratio {sampling_ratio} exceeds the static grid cap "
+            f"MAX_GRID={MAX_GRID} (weights would sum to "
+            f"{MAX_GRID}/{sampling_ratio}); raise MAX_GRID to support it")
     if sampling_ratio > 0:                                  # ref :100-101
         gh = jnp.full(roi_h.shape, sampling_ratio, jnp.int32)
         gw = gh

@@ -307,6 +307,9 @@ def _common_config():
     # bench shape (608px body4, 36 boxes, 14x14): see README "Pallas kernels"
     # for numbers; xla wins and is the default.
     tp.ROI_ALIGN_IMPL = "xla"
+    # chunk the XLA ROIAlign's [B,O,P,W,C] intermediate into groups of N
+    # rois (memory-tight runs); None = single einsum
+    tp.ROI_CHUNK = None
     return c
 
 
