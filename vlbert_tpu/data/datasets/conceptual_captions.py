@@ -79,10 +79,10 @@ class ConceptualCaptionsDataset:
         return len(self.database)
 
     def _load_json(self, path):
-        if "@" in path:
+        if ".zip@" in path:        # same routing as the other datasets
             from vlbert_tpu.data.zipreader import ZipReader
 
-            return json.loads(ZipReader.read(path))
+            return json.loads(ZipReader.read(path).decode())
         with open(path) as f:
             return json.load(f)
 
@@ -123,8 +123,12 @@ class ConceptualCaptionsDataset:
             except Exception:
                 if extra["image_w"] is None:                   # live COCO:
                     raise                                      # ref coco :176
-                image = None                                   # ref :122-128
+                # zero-image fallback (ref :122-128,141-145). Built BEFORE
+                # the transform so it is resized/normalized/FixPadded like
+                # every other sample — a post-transform zeros buffer keeps
+                # the ORIGINAL size/dtype and crashes np.stack at collate.
                 w0, h0 = extra["image_w"], extra["image_h"]
+                image = np.zeros((int(h0), int(w0), 3), np.uint8)
 
         if self.add_image_as_a_box:                            # ref :130-135
             boxes = np.concatenate(
@@ -143,9 +147,6 @@ class ConceptualCaptionsDataset:
                  "im_info": im_info, "flipped": False}
             s = self.transform(s)
             image, boxes, im_info = s["image"], s["boxes"], s["im_info"]
-
-        if image is None and not self.with_precomputed_visual_feat:
-            image = np.zeros((int(im_info[1]), int(im_info[0]), 3), np.float32)
 
         w, h = float(im_info[0]), float(im_info[1])            # ref :147-151
         boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w - 1)

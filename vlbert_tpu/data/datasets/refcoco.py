@@ -54,7 +54,9 @@ def load_refer_db(refs_file, instances_file, splits):
         img_anns.setdefault(a["image_id"], []).append(a)
 
     def xywh_to_xyxy(b):
-        return [b[0], b[1], b[0] + b[2] - 1, b[1] + b[3] - 1]
+        # ref refcoco.py:286 and :138-140: x2 = x + w (no -1), even though
+        # the IoU then uses +1 extents — mirrored exactly for parity
+        return [b[0], b[1], b[0] + b[2], b[1] + b[3]]
 
     db = []
     for ref in refs:
@@ -184,11 +186,13 @@ class RefCOCODataset:
                 [np.asarray([idb["gt_box"]], np.float32), boxes], 0)
 
         im_info = np.asarray([w0, h0, 1.0, 1.0], np.float32)
+        flipped = False
         if self.transform is not None:
             s = {"image": image, "boxes": boxes, "masks": None,
                  "im_info": im_info, "flipped": False}
             s = self.transform(s)
             image, boxes, im_info = s["image"], s["boxes"], s["im_info"]
+            flipped = s.get("flipped", False)
 
         w, h = float(im_info[0]), float(im_info[1])
         boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w - 1)
@@ -200,8 +204,14 @@ class RefCOCODataset:
             boxes = boxes[1:]                                  # strip gt
             label = (bbox_iou(boxes, gt) > 0.5).astype(np.float32)  # ref :200-203
 
-        expr_ids = self.tokenizer.convert_tokens_to_ids(
-            self.tokenizer.tokenize(idb["sentence"]))
+        expr_tokens = self.tokenizer.tokenize(idb["sentence"])
+        if flipped:
+            # mirror the spatial language with the mirrored boxes
+            # (ref refcoco.py:208-226 flip_tokens)
+            expr_tokens = ["right" if t == "left" else
+                           "left" if t == "right" else t
+                           for t in expr_tokens]
+        expr_ids = self.tokenizer.convert_tokens_to_ids(expr_tokens)
 
         out = {"image": image, "boxes": boxes, "im_info": im_info,
                "expr_ids": np.asarray(expr_ids, np.int32)}

@@ -247,14 +247,19 @@ class VCRDataset:
         # truncation (ref :321-343). Note the reference truncates QA2R only
         # in train/val mode (test-mode conditioned queries are clipped by the
         # static max_text buffer downstream, mirroring the 512-position cap).
-        if self.task == "Q2A":
+        if self.task in ("Q2A", "Q2AR"):
+            # Q2A-style: every answer truncated against the question. For
+            # Q2AR this must run over ALL answers (not just the gt one as
+            # the rationale pass below would), otherwise the gt choice is
+            # systematically shorter than the distractors — a learnable
+            # length cue on the answer head.
             for a in answers:
                 while len(question) + len(a) > self.seq_len:
                     if len(a) > len(question):
                         a.pop()
                     else:
                         question.pop()
-        elif not self.test_mode:
+        if self.task != "Q2A" and not self.test_mode:
             a_lab = answers[idb["answer_label"]]
             for r in rationales:
                 while len(question) + len(a_lab) + len(r) > self.seq_len:

@@ -119,8 +119,13 @@ class VQADataset:
 
         with open(answer_vocab_file) as f:
             self.answer_vocab = [l.strip() for l in f if l.strip()]
-        self._unk = self.answer_vocab.index("<unk>") \
-            if "<unk>" in self.answer_vocab else 0
+        if "<unk>" not in self.answer_vocab:
+            # the reference indexes '<unk>' unguarded (ref vqa.py:284);
+            # silently aliasing it to a real answer would zero that class's
+            # soft targets — fail loudly instead
+            raise ValueError(
+                f"answer vocab {answer_vocab_file} has no '<unk>' entry")
+        self._unk = self.answer_vocab.index("<unk>")
 
         path = ann_file if os.path.isabs(ann_file) \
             else os.path.join(data_path, ann_file)
@@ -144,8 +149,6 @@ class VQADataset:
         """Aspect groups for TRAIN.ASPECT_GROUPING (ref vqa.py:413-426:
         horizontal w >= h -> 0, vertical -> 1); imdb rows without dims
         default to horizontal."""
-        import numpy as np
-
         return np.asarray(
             [0 if idb.get("width", 1) >= idb.get("height", 0) else 1
              for idb in self.database], np.int32)

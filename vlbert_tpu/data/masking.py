@@ -16,7 +16,15 @@ def random_word_wwm(tokens, tokenizer, rng):
     word (p=0.15), all sub-tokens are 80% [MASK] / 10% random vocab token /
     10% kept, labels = original sub-token ids; unselected -> label -1.
     """
-    vocab_keys = list(tokenizer.vocab.keys())
+    # cached on the tokenizer: rebuilding a ~30k-entry list per sample is
+    # pure hot-path waste (random replacement draws need it ~1.5% of words)
+    vocab_keys = getattr(tokenizer, "_vocab_keys_cache", None)
+    if vocab_keys is None or len(vocab_keys) != len(tokenizer.vocab):
+        vocab_keys = tuple(tokenizer.vocab.keys())
+        try:
+            tokenizer._vocab_keys_cache = vocab_keys
+        except AttributeError:
+            pass
     out_tokens, out_labels = [], []
     for token in tokens:
         sub_tokens = tokenizer.wordpiece_tokenizer.tokenize(token)
