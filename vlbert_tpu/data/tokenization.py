@@ -20,7 +20,7 @@ def load_vocab(vocab_file):
     vocab = collections.OrderedDict()
     with open(vocab_file, encoding="utf-8") as f:
         for idx, line in enumerate(f):
-            token = line.rstrip("\n")
+            token = line.strip()   # ref :59 strips ALL whitespace (CRLF too)
             vocab[token] = idx
     return vocab
 

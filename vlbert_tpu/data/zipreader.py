@@ -4,17 +4,27 @@ convention (ref: common/utils/zipreader.py:8-86)."""
 from __future__ import annotations
 
 import io
+import os
+import threading
 import zipfile
 
 
 class ZipReader:
+    # keyed by (pid, path): a handle opened before fork shares its OS file
+    # offset with every fork-pool worker — interleaved seek/read between
+    # processes returns bytes from the wrong member. Keying by pid makes
+    # each worker open its own handle lazily after fork.
     _handles = {}
+    _lock = threading.Lock()
 
     @classmethod
     def get_zipfile(cls, path):
-        if path not in cls._handles:
-            cls._handles[path] = zipfile.ZipFile(path, "r")
-        return cls._handles[path]
+        key = (os.getpid(), path)
+        with cls._lock:      # threaded loaders race the check-then-open
+            zf = cls._handles.get(key)
+            if zf is None:
+                zf = cls._handles[key] = zipfile.ZipFile(path, "r")
+        return zf
 
     @staticmethod
     def split_zip_style_path(path):

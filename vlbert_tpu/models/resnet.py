@@ -143,7 +143,6 @@ class ResNetStage(nn.Module):
     blocks: int
     stride: int = 1
     dilation: int = 1
-    in_planes: int = 0  # for downsample decision; 0 = infer from input
     stride_in_1x1: bool = False
     dtype: Any = jnp.float32
 
@@ -183,13 +182,22 @@ class ResNetC4Backbone(nn.Module):
         """images: [B, H, W, 3] -> body4: [B, H/16, W/16, 1024].
 
         Stage numbering follows the reference: stage 1 = stem (conv1+bn1),
-        stage k in 2..4 = layer{k-1} (ref: resnet.py:217-236). Frozen stages
-        get a stop_gradient at their output — for the prefix-frozen setting
-        the shipped configs use ([1, 2]) this both matches
-        requires_grad=False and skips their backward compute entirely.
+        stage k in 2..4 = layer{k-1} (ref: resnet.py:217-236). Param
+        freezing itself lives in the optimizer mask (optim.trainable_mask,
+        matching the reference's requires_grad=False). The stop_gradient
+        here is ONLY a backward-DCE optimization, so it applies solely to
+        the contiguous frozen PREFIX {1..k}: a stop after a mid-network
+        frozen stage would also cut gradients to trainable stages upstream
+        (and leave them weight-decaying with zero grads).
         """
         block, layers = RESNET_SPECS[self.num_layers]
-        frozen = set(self.frozen_stages)
+        frozen_set = set(self.frozen_stages)
+        frozen = set()
+        for s in (1, 2, 3, 4):       # longest contiguous prefix only
+            if s in frozen_set:
+                frozen.add(s)
+            else:
+                break
 
         x = nn.Conv(64, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False,

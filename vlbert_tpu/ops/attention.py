@@ -53,6 +53,12 @@ def _pad_len(L):
 def _fused_attention_fwd_impl(q, k, v, bias):
     """q,k,v: [B, L, H, D]; bias: [B, 1, 1, L] additive. Returns [B, L, H, D]."""
     B, L, H, D = q.shape
+    if bias.shape[1] != 1 or bias.shape[2] != 1:
+        # the kernel broadcasts one key-bias row over heads and queries; a
+        # per-head or per-query bias would be silently truncated to slice
+        # [:, 0, 0, :] — reject instead (use the XLA attention path)
+        raise ValueError(f"fused_attention bias must be [B,1,1,L], got "
+                         f"{bias.shape}")
     scale = 1.0 / math.sqrt(D)
     Lp = _pad_len(L)
     Dp = max(_pad_len(D) // 128 * 128, 128) if D % 128 else D
@@ -122,13 +128,10 @@ def _fwd(q, k, v, bias):
 
 def _bwd(res, g):
     q, k, v, bias = res
-    D = q.shape[-1]
-    scale = 1.0 / math.sqrt(D)
-    # recompute probs (fp32)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    s = s + bias.astype(jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    # recompute probs via the one XLA formulation (shared with the
+    # fallback so the numerics cannot drift between the two copies)
+    _, p = _xla_attention(q, k, v, bias)
     gf = g.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf,

@@ -235,7 +235,8 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
         batch_images = sum(batch_images)
     speedo = Speedometer(
         batch_images * jax.device_count() * grad_accum,
-        config.LOG_FREQUENT, steps_per_epoch, end_epoch - begin_epoch)
+        max(config.LOG_FREQUENT, 1), steps_per_epoch,
+        end_epoch - begin_epoch)
     acc = metrics_lib.HostAccumulator()
     # ValidationMonitor state (ref validation_monitor.py:5-46): best_val is
     # restored from the checkpoint `extra` on resume so -best.model never
@@ -300,8 +301,7 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                             f"non-finite loss {lv} at epoch {epoch} "
                             f"batch {i} (global step {global_step})")
                     if writer is not None:
-                        writer.add_scalar("train/loss", float(last_loss),
-                                          global_step)
+                        writer.add_scalar("train/loss", lv, global_step)
                         for k, v in acc.get().items():
                             writer.add_scalar(f"train/{k}", v, global_step)
                 speedo(epoch, i, acc.format())
