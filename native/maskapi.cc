@@ -66,8 +66,11 @@ void rle_to_bbox(const uint32_t* counts, int n, int h, int w, double* bb) {
   int xmin = w, xmax = -1, ymin = h, ymax = -1;
   for (int i = 0; i < n; ++i) {
     int64_t run = counts[i];
-    if (val) {
+    if (val && run > 0) {
       // runs are column-major: index -> (y = idx % h, x = idx / h)
+      // (zero-length runs occur in real COCO RLEs — merge/frPyObjects
+      // emit them; maskApi.c's rleToBbox skips them too, and processing
+      // one here would compute end < start and corrupt the box)
       int64_t start = pos, end = pos + run - 1;
       int xs = static_cast<int>(start / h), xe = static_cast<int>(end / h);
       xmin = std::min(xmin, xs);
@@ -103,6 +106,7 @@ uint64_t rle_area(const uint32_t* counts, int n) {
 // IoU between two RLE masks of the same h x w (intersection via merged
 // run traversal, no materialization).
 double rle_iou(const uint32_t* ca, int na, const uint32_t* cb, int nb) {
+  if (na <= 0 || nb <= 0) return 0.0;  // empty counts: no OOB read
   uint64_t inter = 0;
   uint64_t area_a = rle_area(ca, na), area_b = rle_area(cb, nb);
   int ia = 0, ib = 0;
@@ -146,6 +150,30 @@ int rle_from_poly(const double* xy, int k, int h, int w, uint32_t* counts,
         }
       }
       mask[static_cast<size_t>(x) * h + y] = inside ? 1 : 0;
+    }
+  }
+  // Degenerate-polygon fallback: pycocotools' rleFrPoly scans the
+  // 5x-upsampled integer boundary, so thin slivers and line polygons
+  // rasterize to their outline instead of an empty mask. The center-point
+  // even-odd fill misses them entirely — when it produced NOTHING, mark
+  // the (densely sampled) boundary pixels so the mask is at least the
+  // polygon's outline.
+  bool any = false;
+  for (size_t idx = 0; idx < mask.size() && !any; ++idx) any = mask[idx];
+  if (!any) {
+    for (int i = 0, j = k - 1; i < k; j = i++) {
+      double xi = xy[2 * i], yi = xy[2 * i + 1];
+      double xj = xy[2 * j], yj = xy[2 * j + 1];
+      double dx = xi - xj, dy = yi - yj;
+      int steps =
+          static_cast<int>(std::max(std::abs(dx), std::abs(dy)) * 5.0) + 1;
+      for (int s = 0; s <= steps; ++s) {
+        double t = static_cast<double>(s) / steps;
+        int px = static_cast<int>(xj + t * dx);
+        int py = static_cast<int>(yj + t * dy);
+        if (px >= 0 && px < w && py >= 0 && py < h)
+          mask[static_cast<size_t>(px) * h + py] = 1;
+      }
     }
   }
   return rle_encode(mask.data(), h, w, counts, max_n);

@@ -55,3 +55,29 @@ def test_numpy_fallback_matches_native(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(c_native), np.asarray(c_np))
     np.testing.assert_array_equal(coco_mask.decode(c_np, 15, 11),
                                   native_decoded)
+
+
+def test_from_poly_degenerate_thin_polygons():
+    """Thin slivers / line polygons rasterize to their outline instead of
+    an empty mask (pycocotools' upsampled-boundary behavior), and
+    zero-length runs / empty RLEs are handled safely."""
+    # sub-pixel-wide sliver
+    c = coco_mask.from_poly([(2, 2), (2.2, 2), (2.2, 9), (2, 9)], 12, 12)
+    assert coco_mask.area(c) > 0
+    m = coco_mask.decode(c, 12, 12)
+    assert m[:, 2].sum() >= 7           # the sliver's column is marked
+    # pure line polygon
+    c2 = coco_mask.from_poly([(1, 5), (10, 5)], 12, 12)
+    assert coco_mask.area(c2) > 0
+    # zero-length run does not corrupt the bbox
+    mask = np.zeros((5, 5), np.uint8)
+    mask[2, 3] = 1
+    one_pixel = coco_mask.encode(mask)
+    bb = coco_mask.to_bbox(one_pixel, 5, 5)
+    with_zero_run = np.concatenate(
+        [[0, 0], np.asarray(one_pixel)]).astype(np.uint32)
+    bb2 = coco_mask.to_bbox(with_zero_run, 5, 5)
+    np.testing.assert_array_equal(bb, bb2)
+    np.testing.assert_array_equal(bb, [3, 2, 1, 1])
+    # empty counts IoU
+    assert coco_mask.iou(np.zeros(0, np.uint32), one_pixel) == 0.0

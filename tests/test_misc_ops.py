@@ -17,8 +17,10 @@ def roi_pool_np(features, rois, ph, pw, scale):
     out = np.zeros((K, ph, pw, C), np.float32)
     for k, (b, x1, y1, x2, y2) in enumerate(rois):
         b = int(b)
-        x1r, y1r = round(x1 * scale), round(y1 * scale)
-        x2r, y2r = round(x2 * scale), round(y2 * scale)
+        # CUDA round() = half-away-from-zero; python round() is banker's
+        # rounding and would mirror the same deviation being tested against
+        x1r, y1r = int(np.floor(x1 * scale + 0.5)), int(np.floor(y1 * scale + 0.5))
+        x2r, y2r = int(np.floor(x2 * scale + 0.5)), int(np.floor(y2 * scale + 0.5))
         rw = max(x2r - x1r + 1, 1)
         rh = max(y2r - y1r + 1, 1)
         for p in range(ph):

@@ -32,8 +32,27 @@ def _load_lib():
             and os.path.exists(os.path.join(native_dir, "Makefile")):
         import subprocess
 
-        subprocess.run(["make", "-C", native_dir], check=False,
-                       capture_output=True)
+        # serialize the auto-build: N loader workers touching this module
+        # concurrently must not run parallel `make`s rewriting the .so one
+        # of them is about to dlopen
+        lock_path = os.path.join(native_dir, ".build.lock")
+        try:
+            import fcntl
+
+            with open(lock_path, "w") as lock_f:
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+                if not any(os.path.exists(c) for c in candidates):
+                    proc = subprocess.run(["make", "-C", native_dir],
+                                          check=False, capture_output=True,
+                                          text=True)
+                    if proc.returncode != 0:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "native maskapi build failed (numpy fallbacks "
+                            "will be used):\n%s", proc.stderr[-2000:])
+        except OSError:
+            pass  # read-only tree: rely on a prebuilt .so or fallbacks
     for c in candidates:
         if os.path.exists(c):
             lib = ctypes.CDLL(c)

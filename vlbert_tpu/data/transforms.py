@@ -123,11 +123,14 @@ class Normalize:
         if s["image"] is None:
             return s
         img = s["image"]
+        # reference semantics: to_bgr255=True -> BGR 0-255 scale (caffe
+        # means); to_bgr255=False -> ToTensor's RGB 0-1 scale (its means
+        # are 0-1-scale too)
         if img.dtype == np.uint8:
             # uint8 pixels ARE the 255-scale values the reference reaches
             # via ToTensor(/255) -> Normalize(*255); one float pass here
-            out = (img[:, :, ::-1] if self.to_bgr255 else img) \
-                .astype(np.float32)
+            out = (img[:, :, ::-1].astype(np.float32) if self.to_bgr255
+                   else img.astype(np.float32) / 255.0)
         else:
             out = (img[:, :, ::-1] * 255.0 if self.to_bgr255
                    else np.array(img, np.float32))

@@ -32,8 +32,14 @@ def normalize_uint8_image(images, im_info, pixel_means, pixel_stds,
         matching cfg.NETWORK.PIXEL_MEANS / PIXEL_STDS.
     """
     B, H, W, _ = images.shape
-    x = images[..., ::-1] if to_bgr255 else images
-    x = x.astype(jnp.float32) - jnp.asarray(pixel_means, jnp.float32)
+    if to_bgr255:
+        x = images[..., ::-1].astype(jnp.float32)
+    else:
+        # reference to_bgr255=False operates on ToTensor's 0-1 RGB scale
+        # (its means are 0-1-scale); keeping 0-255 here would make
+        # activations ~255x too large
+        x = images.astype(jnp.float32) / 255.0
+    x = x - jnp.asarray(pixel_means, jnp.float32)
     stds = tuple(float(s) for s in pixel_stds)
     if any(s != 1.0 for s in stds):
         x = x / jnp.asarray(stds, jnp.float32)

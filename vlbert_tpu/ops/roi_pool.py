@@ -29,10 +29,14 @@ def roi_pool(features, boxes, box_mask, *, pooled_h=7, pooled_w=7,
     f = features.astype(jnp.float32)
 
     b = boxes.astype(jnp.float32) * spatial_scale
-    x1 = jnp.round(b[..., 0])
-    y1 = jnp.round(b[..., 1])
-    x2 = jnp.round(b[..., 2])
-    y2 = jnp.round(b[..., 3])
+    # CUDA round() is half-away-from-zero; jnp.round is half-to-even, which
+    # shifts every x.5 coordinate (box coords at multiples of 8px land on
+    # .5 at stride 16) one cell off the reference kernel. Coords are
+    # non-negative, so floor(x + 0.5) reproduces the C round().
+    x1 = jnp.floor(b[..., 0] + 0.5)
+    y1 = jnp.floor(b[..., 1] + 0.5)
+    x2 = jnp.floor(b[..., 2] + 0.5)
+    y2 = jnp.floor(b[..., 3] + 0.5)
     roi_w = jnp.maximum(x2 - x1 + 1, 1.0)
     roi_h = jnp.maximum(y2 - y1 + 1, 1.0)
 

@@ -43,8 +43,11 @@ def generate_instance_mask(seg_polys, box, mask_size=(14, 14)):
     h_ratio = float(mw) / (box[3] - box[1] + 1)   # mask_size[0]/w, [1]/h
     for poly in seg_polys:
         poly = np.asarray(poly, np.float32)
-        x = np.clip((poly[:, 0] - box[0]) * w_ratio, 0, mw - 1)
-        y = np.clip((poly[:, 1] - box[1]) * h_ratio, 0, mh - 1)
+        # clip bounds follow each axis's own scale: x lands in [0, mh]
+        # (w_ratio = mh/box_w, the reference's mask_size[0]/w convention),
+        # y in [0, mw] — only visible for non-square mask sizes
+        x = np.clip((poly[:, 0] - box[0]) * w_ratio, 0, mh - 1)
+        y = np.clip((poly[:, 1] - box[1]) * h_ratio, 0, mw - 1)
         # skimage polygon(y, x): rows = y, cols = x, even-odd fill
         mask[polygon_fill(y, x, mask_size)] = 1.0
     return mask
