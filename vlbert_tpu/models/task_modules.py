@@ -768,6 +768,12 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
         cls = ResNetVLBERTForVCRQ2AR
     if cls is ResNetVLBERTForPretrainingMultitask:
         with_aux = config.MODULE.endswith("Multitask")
+        # masked-feature embedding dim follows the precomputed feature dim
+        # (DATASET.PRECOMPUTED_FEAT_DIM; master entry for list-DATASET)
+        d = config.DATASET
+        master = d[0] if isinstance(d, (list, tuple)) else d
+        feat_dim = kwargs.get("mask_visual_feat_dim",
+                              master.get("PRECOMPUTED_FEAT_DIM", 2048))
         return cls(config=config, vl_config=vl_cfg, with_aux=with_aux,
-                   mask_visual_feat_dim=kwargs.get("mask_visual_feat_dim", 2048))
+                   mask_visual_feat_dim=feat_dim)
     return cls(config=config, vl_config=vl_cfg)
