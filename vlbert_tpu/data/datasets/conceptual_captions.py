@@ -25,18 +25,12 @@ import random
 import numpy as np
 
 from vlbert_tpu.data.collate import PicklableCollate, pad_to, stack_batch
+from vlbert_tpu.data.io_utils import b64_decode, load_json_maybe_zip, load_jsonl
 from vlbert_tpu.data.masking import (random_mask_region, random_word_wwm,
                                      truncate_seq_and_boxes)
 from vlbert_tpu.data.zipreader import read_image
 
 
-def load_jsonl(path):
-    with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
-
-
-def b64_decode(s):
-    return base64.decodebytes(s.encode())
 
 
 class ConceptualCaptionsDataset:
@@ -79,12 +73,7 @@ class ConceptualCaptionsDataset:
         return len(self.database)
 
     def _load_json(self, path):
-        if ".zip@" in path:        # same routing as the other datasets
-            from vlbert_tpu.data.zipreader import ZipReader
-
-            return json.loads(ZipReader.read(path).decode())
-        with open(path) as f:
-            return json.load(f)
+        return load_json_maybe_zip(path)
 
     def _load_regions(self, idb):
         """Per-item region source (seam for subclasses, e.g. the live

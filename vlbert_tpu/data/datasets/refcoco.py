@@ -24,6 +24,7 @@ import pickle
 import numpy as np
 
 from vlbert_tpu.data.collate import PicklableCollate, assemble_expression_text, pad_to, stack_batch
+from vlbert_tpu.data.io_utils import b64_decode, load_json_maybe_zip
 from vlbert_tpu.data.zipreader import read_image
 
 
@@ -148,10 +149,8 @@ class RefCOCODataset:
                     self.data_path, VG_PROPOSAL[0], VG_PROPOSAL[1],
                     f"{idb['image_id']}.json")
                 data = self._load_json(box_fn)
-                import base64
-
                 dets = np.frombuffer(
-                    base64.decodebytes(data["boxes"].encode()),
+                    b64_decode(data["boxes"]),
                     np.float32).reshape((data["num_boxes"], -1))[:, :4]
                 parts.append(np.array(dets))
             else:
@@ -162,12 +161,7 @@ class RefCOCODataset:
         return np.concatenate(parts, 0) if len(parts) > 1 else parts[0]
 
     def _load_json(self, path):
-        from vlbert_tpu.data.zipreader import ZipReader
-
-        if ".zip@" in path:
-            return json.loads(ZipReader.read(path).decode())
-        with open(path) as f:
-            return json.load(f)
+        return load_json_maybe_zip(path)
 
     def __getitem__(self, index):
         idb = self.database[index]

@@ -32,7 +32,8 @@ from copy import deepcopy
 import numpy as np
 
 from vlbert_tpu.data.collate import PicklableCollate, assemble_qa_text, pad_to, stack_batch
-from vlbert_tpu.data.zipreader import ZipReader, read_image
+from vlbert_tpu.data.io_utils import load_json_maybe_zip, load_jsonl
+from vlbert_tpu.data.zipreader import read_image
 from vlbert_tpu.utils.mask import generate_instance_mask
 
 GENDER_NEUTRAL_NAMES = ["Casey", "Riley", "Jessie", "Jackie", "Avery",
@@ -60,9 +61,6 @@ VCR_CATEGORIES = [
 ]
 
 
-def load_jsonl(path):
-    with open(path) as f:
-        return [json.loads(l) for l in f if l.strip()]
 
 
 class VCRDataset:
@@ -146,10 +144,7 @@ class VCRDataset:
         return self._cat_to_idx[name]
 
     def _load_json(self, path):
-        if ".zip@" in path:
-            return json.loads(ZipReader.read(path).decode())
-        with open(path) as f:
-            return json.load(f)
+        return load_json_maybe_zip(path)
 
     def retokenize_with_tags(self, tokens, objects_replace_name, non_obj_tag):
         """ref :203-251 — returns list of (token_id, tag)."""

@@ -22,11 +22,10 @@ import os
 import numpy as np
 
 from vlbert_tpu.data.collate import PicklableCollate, assemble_qa_text, pad_to, stack_batch
-from vlbert_tpu.data.zipreader import ZipReader, read_image
+from vlbert_tpu.data.io_utils import b64_decode, load_json_maybe_zip
+from vlbert_tpu.data.zipreader import read_image
 
 
-def b64_decode(s):
-    return base64.decodebytes(s.encode())
 
 
 def build_vqa_db(questions_file, annotations_file=None, image_fn_template="",
@@ -154,10 +153,7 @@ class VQADataset:
              for idb in self.database], np.int32)
 
     def _load_json(self, path):
-        if ".zip@" in path:
-            return json.loads(ZipReader.read(path).decode())
-        with open(path) as f:
-            return json.load(f)
+        return load_json_maybe_zip(path)
 
     def answer_to_ind(self, answer):
         try:
