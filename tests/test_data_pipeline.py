@@ -934,3 +934,23 @@ def test_grouped_batch_sampler_deterministic_count():
         full_homog = sum(1 for b in batches2
                          if len({int(group_ids[int(i)]) for i in b}) == 1)
         assert full_homog >= len(batches2) - 2      # <= #groups-1 mixed + pad
+
+
+def test_vcr_qa2r_noq(tmp_path, tok):
+    """qa2r_noq (ref vcr.py:411-424 'qa2r_noq' wiring): the QA2R query is
+    the chosen ANSWER alone, without the question tokens."""
+    from vlbert_tpu.data.datasets.vcr import VCRDataset
+
+    d = _write_vcr_fixture(tmp_path, name="vcrnoq")
+
+    def query_ids(noq):
+        ds = VCRDataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                        tokenizer=tok, task="QA2R", qa2r_noq=noq,
+                        add_image_as_a_box=True, mask_size=(7, 7), seq_len=32)
+        return [t[0] for t in ds[0]["query"]]
+
+    with_q = query_ids(False)
+    no_q = query_ids(True)
+    assert len(no_q) < len(with_q)
+    # the noq query is a suffix of the full query (question stripped)
+    assert with_q[-len(no_q):] == no_q

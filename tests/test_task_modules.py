@@ -200,3 +200,41 @@ def test_pretrain_multitask_module(rng):
              + float(outputs["mlm_loss_aux"]) + float(outputs["mvrc_loss"]))
     assert abs(float(loss) - total) < 1e-5
     assert outputs["mvrc_logits"].shape == (B, O, 11)
+
+
+def test_vcr_blind_mode(rng):
+    """NETWORK.BLIND (text-only ablation, ref vcr module :111-114,311): no
+    visual features are consumed — logits must be invariant to the image
+    and boxes, and the forward stays finite."""
+    cfg = default_config("vcr")
+    cfg.MODULE = "ResNetVLBERT"
+    cfg.DATASET.TASK = "Q2A"
+    small_vlbert(cfg)
+    cfg.NETWORK.BLIND = True
+    cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = True
+    cfg.NETWORK.ENABLE_CNN_REG_LOSS = False
+    m = build_module(cfg, "vcr", dtype=jnp.float32)
+
+    B, O, T, F = 2, 4, 10, 32
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        boxes = np.zeros((B, O, 4 + F), np.float32)
+        boxes[..., 2:4] = 30.0
+        boxes[..., 4:] = r.normal(size=(B, O, F))
+        return (None, jnp.asarray(boxes), jnp.zeros((B, O), jnp.int32),
+                jnp.zeros((B, O, 7, 7)), jnp.ones((B, O), bool),
+                jnp.ones((B, 4, T), jnp.int32), jnp.zeros((B, 4, T), jnp.int32),
+                jnp.zeros((B, 4, T), jnp.int32), jnp.ones((B, 4, T), bool),
+                jnp.asarray([[64, 64, 1, 1]] * B, jnp.float32),
+                jnp.zeros((B,), jnp.int32))
+
+    b1, b2 = batch(0), batch(1)          # different visual features
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, *b1, train=True)
+    out1, loss1 = m.apply(params, *b1, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+    out2, _ = m.apply(params, *b2, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(loss1))
+    np.testing.assert_allclose(np.asarray(out1["label_logits"]),
+                               np.asarray(out2["label_logits"]), rtol=1e-6)
