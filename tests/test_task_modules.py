@@ -238,3 +238,48 @@ def test_vcr_blind_mode(rng):
     assert np.isfinite(float(loss1))
     np.testing.assert_allclose(np.asarray(out1["label_logits"]),
                                np.asarray(out2["label_logits"]), rtol=1e-6)
+
+
+def test_vcr_object_word_embed_modes_and_no_grounding(rng):
+    """object_word_embed_mode 2 (generic single embedding) and 3 (mean of
+    non-special word embeddings, ref vcr module :316-322) both run; with
+    NO_GROUNDING the text tags are zeroed so logits are tag-invariant."""
+    def run(mode, no_grounding=False, tags=None):
+        cfg = default_config("vcr")
+        cfg.MODULE = "ResNetVLBERT"
+        cfg.DATASET.TASK = "Q2A"
+        small_vlbert(cfg)
+        cfg.NETWORK.VLBERT.object_word_embed_mode = mode
+        cfg.NETWORK.NO_GROUNDING = no_grounding
+        cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = True
+        cfg.NETWORK.ENABLE_CNN_REG_LOSS = False
+        m = build_module(cfg, "vcr", dtype=jnp.float32)
+        B, O, T, F = 2, 4, 10, 32
+        r = np.random.default_rng(0)
+        boxes = np.zeros((B, O, 4 + F), np.float32)
+        boxes[..., 2:4] = 30.0
+        boxes[..., 4:] = r.normal(size=(B, O, F))
+        t = tags if tags is not None else jnp.zeros((B, 4, T), jnp.int32)
+        batch = (None, jnp.asarray(boxes), jnp.zeros((B, O), jnp.int32),
+                 jnp.zeros((B, O, 7, 7)), jnp.ones((B, O), bool),
+                 jnp.ones((B, 4, T), jnp.int32),
+                 jnp.zeros((B, 4, T), jnp.int32), t,
+                 jnp.ones((B, 4, T), bool),
+                 jnp.asarray([[64, 64, 1, 1]] * B, jnp.float32),
+                 jnp.zeros((B,), jnp.int32))
+        params = m.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, *batch, train=True)
+        out, loss = m.apply(params, *batch, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(2)})
+        return np.asarray(out["label_logits"]), float(loss)
+
+    for mode in (2, 3):
+        logits, loss = run(mode)
+        assert np.isfinite(loss) and logits.shape == (2, 4), mode
+
+    # NO_GROUNDING: different tags give identical logits
+    tags_a = jnp.zeros((2, 4, 10), jnp.int32)
+    tags_b = jnp.ones((2, 4, 10), jnp.int32)
+    la, _ = run(2, no_grounding=True, tags=tags_a)
+    lb, _ = run(2, no_grounding=True, tags=tags_b)
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
