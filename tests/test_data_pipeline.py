@@ -954,3 +954,38 @@ def test_vcr_qa2r_noq(tmp_path, tok):
     assert len(no_q) < len(with_q)
     # the noq query is a suffix of the full query (question stripped)
     assert with_q[-len(no_q):] == no_q
+
+
+def test_vcr_zip_mode(tmp_path, tok):
+    """DATASET.ZIP_MODE: images + metadata read from the
+    '{image_set}.zip@/{image_set}' archive with paths rewritten exactly like
+    the reference (ref vcr.py:150-152); batches match the plain-dir run."""
+    import zipfile
+
+    from vlbert_tpu.data.datasets.vcr import VCRDataset
+
+    d = _write_vcr_fixture(tmp_path, name="vcrzip")
+    image_set = "train"
+    zpath = tmp_path / "zipped" / f"{image_set}.zip"
+    os.makedirs(zpath.parent, exist_ok=True)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dp, _, fs in os.walk(d):
+            for f in fs:
+                if f == "ann.jsonl":
+                    continue
+                full = os.path.join(dp, f)
+                rel = os.path.relpath(full, d)
+                z.write(full, os.path.join(image_set, rel))
+
+    def sample(zip_mode, data_path):
+        ds = VCRDataset(str(d / "ann.jsonl"), image_set, str(tmp_path),
+                        data_path, tokenizer=tok, task="Q2A",
+                        add_image_as_a_box=True, mask_size=(7, 7),
+                        seq_len=32, zip_mode=zip_mode)
+        return ds[0]
+
+    plain = sample(False, str(d))
+    zipped = sample(True, str(zpath.parent))
+    np.testing.assert_array_equal(plain["image"], zipped["image"])
+    np.testing.assert_array_equal(plain["boxes"], zipped["boxes"])
+    assert [t[0] for t in plain["query"]] == [t[0] for t in zipped["query"]]

@@ -190,11 +190,21 @@ class VCRDataset:
                 remap(r)
         return dets, question, answer_choices, rationale_choices
 
+    def _data_file(self, rel_fn):
+        """Resolve an annotation-relative file: plain dir, or inside the
+        '{image_set}.zip@/{image_set}' archive under ZIP_MODE (the reference
+        rewrites paths the same way, ref vcr.py:150-152)."""
+        if os.path.isabs(rel_fn) or ".zip@" in rel_fn:
+            return rel_fn
+        if self.zip_mode:
+            return os.path.join(
+                self.data_path, f"{self.image_set}.zip@/{self.image_set}",
+                rel_fn)
+        return os.path.join(self.data_path, rel_fn)
+
     def __getitem__(self, index):
         idb = deepcopy(self.database[index])
-        metadata = self._load_json(
-            os.path.join(self.data_path, idb["metadata_fn"])
-            if not os.path.isabs(idb["metadata_fn"]) else idb["metadata_fn"])
+        metadata = self._load_json(self._data_file(idb["metadata_fn"]))
         idb["boxes"] = metadata["boxes"]
         idb["segms"] = metadata["segms"]
 
@@ -265,9 +275,7 @@ class VCRDataset:
                     else:
                         a_lab.pop()
 
-        img_fn = idb["img_fn"] if os.path.isabs(idb["img_fn"]) \
-            else os.path.join(self.data_path, idb["img_fn"])
-        image = read_image(img_fn)
+        image = read_image(self._data_file(idb["img_fn"]))
         h0, w0 = image.shape[:2]
         objects = idb["objects"]
 
