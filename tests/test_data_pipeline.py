@@ -989,3 +989,29 @@ def test_vcr_zip_mode(tmp_path, tok):
     np.testing.assert_array_equal(plain["image"], zipped["image"])
     np.testing.assert_array_equal(plain["boxes"], zipped["boxes"])
     assert [t[0] for t in plain["query"]] == [t[0] for t in zipped["query"]]
+
+
+def test_vqa_zip_mode(tmp_path, tok):
+    """VQA ZIP_MODE: the box-feature json's parent dir is read as a
+    '{dir}.zip@/{dir}' archive (reference path-template semantics,
+    ref vqa.py:141-152); results match the plain-dir run."""
+    import zipfile
+
+    from tests.test_entrypoints import _write_vqa_fixture
+    from vlbert_tpu.data.datasets.vqa import VQADataset
+
+    d, _vocab = _write_vqa_fixture(tmp_path)
+    with zipfile.ZipFile(os.path.join(d, "boxes.zip"), "w") as z:
+        for f in os.listdir(os.path.join(d, "boxes")):
+            z.write(os.path.join(d, "boxes", f), os.path.join("boxes", f))
+
+    def sample(zip_mode):
+        ds = VQADataset(os.path.join(d, "val.jsonl"), "val", str(tmp_path),
+                        str(d), tokenizer=tok,
+                        answer_vocab_file=os.path.join(d, "answers.txt"),
+                        zip_mode=zip_mode)
+        return ds[0]
+
+    plain = sample(False)
+    zipped = sample(True)
+    np.testing.assert_array_equal(plain["boxes"], zipped["boxes"])

@@ -111,6 +111,7 @@ class VQADataset:
                  seed=0, **kwargs):
         self.data_path = data_path
         self.test_mode = test_mode
+        self.zip_mode = zip_mode
         self.with_precomputed_visual_feat = with_precomputed_visual_feat
         self.add_image_as_a_box = add_image_as_a_box
         self.transform = transform
@@ -181,11 +182,23 @@ class VQADataset:
         return ["right" if t == "left" else "left" if t == "right" else t
                 for t in tokens]
 
+    def _data_file(self, rel):
+        """Resolve an annotation-relative file; under ZIP_MODE the direct
+        parent directory becomes a '{dir}.zip@/{dir}' archive, matching the
+        reference's path templates (ref vqa.py:141-152)."""
+        if os.path.isabs(rel) or ".zip@" in rel:
+            return rel if os.path.isabs(rel) \
+                else os.path.join(self.data_path, rel)
+        if self.zip_mode:
+            head, tail = os.path.split(rel)
+            parent, last = os.path.split(head)
+            if last:
+                rel = os.path.join(parent, f"{last}.zip@/{last}", tail)
+        return os.path.join(self.data_path, rel)
+
     def __getitem__(self, index):
         idb = self.database[index]
-        box_fn = idb["box_fn"] if os.path.isabs(idb["box_fn"]) \
-            else os.path.join(self.data_path, idb["box_fn"])
-        boxes_data = self._load_json(box_fn)
+        boxes_data = self._load_json(self._data_file(idb["box_fn"]))
         boxes = np.frombuffer(b64_decode(boxes_data["boxes"]), np.float32) \
             .reshape((boxes_data["num_boxes"], -1)).copy()
 
@@ -195,16 +208,13 @@ class VQADataset:
             if "width" in idb:
                 w0, h0 = idb["width"], idb["height"]
             else:    # imdb rows without a COCO instances json: read dims
-                img_fn = idb["image_fn"] if os.path.isabs(idb["image_fn"]) \
-                    else os.path.join(self.data_path, idb["image_fn"])
-                h0, w0 = read_image(img_fn).shape[:2]
+                h0, w0 = read_image(
+                    self._data_file(idb["image_fn"])).shape[:2]
             feats = np.frombuffer(b64_decode(boxes_data["features"]),
                                   np.float32) \
                 .reshape((boxes_data["num_boxes"], -1)).copy()
         else:
-            img_fn = idb["image_fn"] if os.path.isabs(idb["image_fn"]) \
-                else os.path.join(self.data_path, idb["image_fn"])
-            image = read_image(img_fn)
+            image = read_image(self._data_file(idb["image_fn"]))
             h0, w0 = image.shape[:2]
 
         if self.add_image_as_a_box:
