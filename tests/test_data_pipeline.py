@@ -1015,3 +1015,32 @@ def test_vqa_zip_mode(tmp_path, tok):
     plain = sample(False)
     zipped = sample(True)
     np.testing.assert_array_equal(plain["boxes"], zipped["boxes"])
+
+
+def test_refcoco_zip_mode(tmp_path, tok):
+    """RefCOCO ZIP_MODE: images and VG proposal jsons read through
+    '{dir}.zip@/{dir}' archives (ref refcoco.py:146,264-270)."""
+    import shutil
+    import zipfile
+
+    from vlbert_tpu.data.datasets.refcoco import RefCOCODataset, VG_PROPOSAL
+
+    d = pathlib_Path = __import__("pathlib").Path(
+        _write_refcoco_fixture(tmp_path))
+    vg_root = d / VG_PROPOSAL[0]
+    sub = VG_PROPOSAL[1]
+    with zipfile.ZipFile(vg_root / f"{sub}.zip", "w") as z:
+        for f in os.listdir(vg_root / sub):
+            z.write(vg_root / sub / f, os.path.join(sub, f))
+    shutil.rmtree(vg_root / sub)
+    with zipfile.ZipFile(d / "img.zip", "w") as z:
+        for f in os.listdir(d / "img"):
+            z.write(d / "img" / f, os.path.join("img", f))
+    shutil.rmtree(d / "img")
+
+    ds = RefCOCODataset(str(d / "ann.jsonl"), "train", str(tmp_path), str(d),
+                        tokenizer=tok, boxes="proposal",
+                        proposal_source="vg", zip_mode=True)
+    s = ds[0]
+    assert s["image"].shape == (60, 80, 3)
+    assert s["boxes"].shape[0] >= 1

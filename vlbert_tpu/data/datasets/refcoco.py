@@ -24,7 +24,8 @@ import pickle
 import numpy as np
 
 from vlbert_tpu.data.collate import PicklableCollate, assemble_expression_text, pad_to, stack_batch
-from vlbert_tpu.data.io_utils import b64_decode, load_json_maybe_zip
+from vlbert_tpu.data.io_utils import (b64_decode, load_json_maybe_zip,
+                                      resolve_data_file)
 from vlbert_tpu.data.zipreader import read_image
 
 
@@ -69,7 +70,11 @@ def load_refer_db(refs_file, instances_file, splits):
         for sent in ref["sentences"]:
             db.append({
                 "image_id": ref["image_id"],
-                "image_fn": img["file_name"],
+                # COCO file_names are bare; the reference reads refcoco
+                # images from the train2014 dir (zip: train2014.zip@/...,
+                # ref :264-270)
+                "image_fn": img["file_name"] if "/" in img["file_name"]
+                else os.path.join("train2014", img["file_name"]),
                 "width": img["width"],
                 "height": img["height"],
                 "boxes": boxes,
@@ -89,11 +94,12 @@ class RefCOCODataset:
     def __init__(self, ann_file, image_set, root_path, data_path, *,
                  tokenizer, transform=None, test_mode=False,
                  boxes="gt", proposal_source="official",
-                 add_image_as_a_box=True, seed=0, **kwargs):
+                 add_image_as_a_box=True, zip_mode=False, seed=0, **kwargs):
         assert boxes in ("gt", "proposal", "proposal+gt", "gt+proposal"), \
             f"unsupported box source {boxes!r} (ref refcoco.py:133-176)"
         self.data_path = data_path
         self.test_mode = test_mode
+        self.zip_mode = zip_mode
         self.boxes = boxes
         self.proposal_source = proposal_source
         self.add_image_as_a_box = add_image_as_a_box
@@ -145,9 +151,13 @@ class RefCOCODataset:
                 dets[:, 2:] += dets[:, :2]                     # xywh -> xyxy
                 parts.append(dets)
             elif self.proposal_source == "vg":
-                box_fn = os.path.join(
-                    self.data_path, VG_PROPOSAL[0], VG_PROPOSAL[1],
-                    f"{idb['image_id']}.json")
+                # under zip_mode the VG subdir is '{sub}.zip@/{sub}'
+                # (ref refcoco.py:146)
+                box_fn = resolve_data_file(
+                    self.data_path,
+                    os.path.join(VG_PROPOSAL[0], VG_PROPOSAL[1],
+                                 f"{idb['image_id']}.json"),
+                    self.zip_mode)
                 data = self._load_json(box_fn)
                 dets = np.frombuffer(
                     b64_decode(data["boxes"]),
@@ -165,9 +175,8 @@ class RefCOCODataset:
 
     def __getitem__(self, index):
         idb = self.database[index]
-        img_fn = idb["image_fn"] if os.path.isabs(idb["image_fn"]) \
-            else os.path.join(self.data_path, idb["image_fn"])
-        image = read_image(img_fn)
+        image = read_image(resolve_data_file(
+            self.data_path, idb["image_fn"], self.zip_mode))
         h0, w0 = image.shape[:2]
 
         boxes = self._candidate_boxes(idb)

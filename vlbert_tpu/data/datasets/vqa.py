@@ -22,7 +22,8 @@ import os
 import numpy as np
 
 from vlbert_tpu.data.collate import PicklableCollate, assemble_qa_text, pad_to, stack_batch
-from vlbert_tpu.data.io_utils import b64_decode, load_json_maybe_zip
+from vlbert_tpu.data.io_utils import (b64_decode, load_json_maybe_zip,
+                                      resolve_data_file)
 from vlbert_tpu.data.zipreader import read_image
 
 
@@ -183,18 +184,7 @@ class VQADataset:
                 for t in tokens]
 
     def _data_file(self, rel):
-        """Resolve an annotation-relative file; under ZIP_MODE the direct
-        parent directory becomes a '{dir}.zip@/{dir}' archive, matching the
-        reference's path templates (ref vqa.py:141-152)."""
-        if os.path.isabs(rel) or ".zip@" in rel:
-            return rel if os.path.isabs(rel) \
-                else os.path.join(self.data_path, rel)
-        if self.zip_mode:
-            head, tail = os.path.split(rel)
-            parent, last = os.path.split(head)
-            if last:
-                rel = os.path.join(parent, f"{last}.zip@/{last}", tail)
-        return os.path.join(self.data_path, rel)
+        return resolve_data_file(self.data_path, rel, self.zip_mode)
 
     def __getitem__(self, index):
         idb = self.database[index]

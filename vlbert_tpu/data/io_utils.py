@@ -26,3 +26,21 @@ def load_json_maybe_zip(path):
         return json.loads(ZipReader.read(path).decode())
     with open(path) as f:
         return json.load(f)
+
+
+def resolve_data_file(data_path, rel, zip_mode=False):
+    """Annotation-relative file -> full path. Under zip_mode the file's
+    direct parent directory is read as a '{dir}.zip@/{dir}' archive
+    (the reference's path-template convention, e.g. vqa.py:141-152,
+    refcoco.py:146,268); absolute and already-zip-style paths pass through.
+    """
+    import os
+
+    if os.path.isabs(rel) or ".zip@" in rel:
+        return rel if os.path.isabs(rel) else os.path.join(data_path, rel)
+    if zip_mode:
+        head, tail = os.path.split(rel)
+        parent, last = os.path.split(head)
+        if last:
+            rel = os.path.join(parent, f"{last}.zip@/{last}", tail)
+    return os.path.join(data_path, rel)
