@@ -104,3 +104,85 @@ def test_two_process_data_parallel(tmp_path):
     # both processes computed identical global sum and identical params
     vals = {tuple(r.split()[2:]) for r in results}
     assert len(vals) == 1, results
+
+
+_TRAIN_NET_WORKER = r"""
+import os, sys, types, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)   # 2 local x 2 processes = 4
+proc_id = int(sys.argv[1])
+coord = sys.argv[2]
+fixture_root = sys.argv[3]
+out_root = sys.argv[4]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=proc_id)
+assert jax.process_count() == 2 and jax.device_count() == 4
+
+sys.path.insert(0, os.environ["VLBERT_REPO"])
+from tests.test_entrypoints import _tiny_vqa_cfg
+from vlbert_tpu.engine.train import train_net
+
+data_dir = os.path.join(fixture_root, "vqa")
+vocab_dir = os.path.join(fixture_root, "bert")
+import pathlib
+cfg = _tiny_vqa_cfg(pathlib.Path(out_root), data_dir, vocab_dir)
+cfg.OUTPUT_PATH = out_root
+cfg.TRAIN.END_EPOCH = 1
+cfg.TRAIN.BATCH_IMAGES = 2       # x2 local devices x2 hosts = 8 global
+args = types.SimpleNamespace(model_dir=out_root, log_dir=None)
+state = train_net(args, cfg, "vqa")
+
+import numpy as np
+from vlbert_tpu.training.checkpoint import flatten_params
+flat = flatten_params(jax.device_get(state.params["params"]))
+digest = float(sum(np.float64(np.sum(np.float64(v))) for v in flat.values()))
+print(f"RESULT {proc_id} {int(state.step)} {digest:.10e}", flush=True)
+"""
+
+
+def test_two_process_train_net(tmp_path):
+    """The PRODUCTION driver end-to-end on 2 processes: per-host loader
+    shards, multiprocess global-batch assembly inside fit(), collective
+    validation, rank-0 checkpointing — params must be bit-identical on both
+    hosts afterwards."""
+    from tests.test_entrypoints import _write_vqa_fixture
+
+    _write_vqa_fixture(tmp_path, n=16)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    script = tmp_path / "worker_train.py"
+    script.write_text(_TRAIN_NET_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["VLBERT_REPO"] = repo
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    out_root = tmp_path / "out"
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), coord, str(tmp_path),
+         str(out_root)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{out[-2000:]}\n{err[-4000:]}"
+    results = [line for rc, out, _ in outs
+               for line in out.splitlines() if line.startswith("RESULT")]
+    assert len(results) == 2, outs
+    # both hosts: same step count and bit-identical parameter digest
+    sigs = {tuple(r.split()[2:]) for r in results}
+    assert len(sigs) == 1, results
+    # rank 0 wrote the checkpoint
+    ckpts = [f for f in os.listdir(out_root / "vqa_train")
+             if f.endswith(".model")]
+    assert any(f.endswith("-0000.model") for f in ckpts), ckpts
