@@ -44,7 +44,8 @@ def _mode_fields(cfg, mode):
 
 
 def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
-                    num_replicas=None, rank=None, worker_share=1):
+                    num_replicas=None, rank=None, worker_share=1,
+                    dataset_index=0):
     """Build one loader. Per-host input sharding replaces DistributedSampler
     (SURVEY §2.6): each JAX process loads its shard."""
     d = dataset_cfg if dataset_cfg is not None else cfg.DATASET
@@ -60,7 +61,11 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
                                   "matching the reference's own assert")
     ann_file, image_set, batch_images, shuffle = _mode_fields(cfg, mode)
     if isinstance(batch_images, (list, tuple)):
-        batch_images = batch_images[0]
+        # list-valued BATCH_IMAGES = per-sub-dataset batch sizes for the
+        # multitask pretrain (ref pretrain/data/build.py:108-127); each
+        # sub-loader takes its own entry
+        batch_images = batch_images[min(dataset_index,
+                                        len(batch_images) - 1)]
     # BATCH_IMAGES is per-device (reference: per-GPU, ref build.py:49-55);
     # one host process feeds all its local devices, and accumulation steps
     # arrive in the same host batch ([accum*micro] flat, reshaped by fit())
@@ -161,7 +166,10 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
                       seed=max(cfg.RNG_SEED, 0),
                       drop_last=(mode == "train"),
                       prefetch=cfg.TPU.get("PREFETCH_DEPTH", 2),
-                      num_threads=max(n_workers, 1),
+                      # single-thread fallback: GIL caps thread scaling at
+                      # ~1.5x anyway (bench_host.py) and >1 thread makes
+                      # shared-RNG augmentation draw order nondeterministic
+                      num_threads=1,
                       # fork-pool workers (reference: torch DataLoader
                       # NUM_WORKERS_PER_GPU processes); GIL-bound threads
                       # don't scale on this path — see data/loader.py
@@ -175,10 +183,11 @@ def make_multitask_dataloader(cfg, task, mode="train", tokenizer=None):
     (ref pretrain/data/build.py:108-127)."""
     assert isinstance(cfg.DATASET, list)
     loaders = []
-    for ds_cfg in cfg.DATASET:
+    for i, ds_cfg in enumerate(cfg.DATASET):
         sub = cfg.clone()
         sub.DATASET = ds_cfg
         loaders.append(make_dataloader(sub, task, mode, tokenizer,
                                        dataset_cfg=ds_cfg,
-                                       worker_share=len(cfg.DATASET)))
+                                       worker_share=len(cfg.DATASET),
+                                       dataset_index=i))
     return MultiTaskLoader(loaders)

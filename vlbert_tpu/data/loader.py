@@ -28,14 +28,18 @@ _WORKER_SEED = 0
 
 def _reseed(obj, seed):
     """Re-create augmentation RNG streams (any ``rng`` attribute on the
-    dataset or its transform chain: flip RNG, masking RNG) from ``seed``;
-    each transform gets a distinct stream."""
+    dataset or its transform chain: flip RNG, masking RNG) from ``seed``
+    (int or np.random.SeedSequence); each consumer gets an independent
+    spawned stream."""
+    ss = seed if isinstance(seed, np.random.SeedSequence) \
+        else np.random.SeedSequence(int(seed))
+    transforms = [t for t in getattr(getattr(obj, "transform", None),
+                                     "transforms", []) if hasattr(t, "rng")]
+    children = ss.spawn(1 + len(transforms))
     if hasattr(obj, "rng"):
-        obj.rng = np.random.default_rng(seed)
-    for j, t in enumerate(getattr(getattr(obj, "transform", None),
-                                  "transforms", [])):
-        if hasattr(t, "rng"):
-            t.rng = np.random.default_rng(seed + 1 + j)
+        obj.rng = np.random.default_rng(children[0])
+    for child, t in zip(children[1:], transforms):
+        t.rng = np.random.default_rng(child)
 
 
 def _worker_init(ds, collate, base_seed):
@@ -43,6 +47,14 @@ def _worker_init(ds, collate, base_seed):
     _WORKER_DS = ds
     _WORKER_COLLATE = collate
     _WORKER_SEED = base_seed
+
+
+def _batch_seed(base_seed, epoch, batch_idx):
+    """SeedSequence-mixed (seed, epoch, first-index) — collision-resistant
+    for any dataset size (a linear epoch*K + index scheme collides once the
+    dataset exceeds K samples)."""
+    first = int(batch_idx[0]) if len(batch_idx) else 0
+    return np.random.SeedSequence((int(base_seed), int(epoch), first))
 
 
 def _worker_batch(batch_idx, epoch=0):
@@ -58,8 +70,7 @@ def _worker_batch(batch_idx, epoch=0):
     # same RNG_SEED replays identical augmentations no matter which worker
     # the pool scheduler hands each batch to (PID-derived seeds made runs
     # irreproducible despite the seed plumbing)
-    _reseed(_WORKER_DS, _WORKER_SEED + epoch * 1_000_003
-            + (int(batch_idx[0]) if len(batch_idx) else 0))
+    _reseed(_WORKER_DS, _batch_seed(_WORKER_SEED, epoch, batch_idx))
     samples = [_WORKER_DS[int(i)] for i in batch_idx]
     return _WORKER_COLLATE(samples)
 
@@ -251,30 +262,55 @@ class DataLoader:
             return
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        closed = threading.Event()   # set when the consumer abandons us
+
+        def put(item):
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 from concurrent.futures import ThreadPoolExecutor
 
+                epoch = int(getattr(self.sampler, "epoch", 0))
                 with ThreadPoolExecutor(self.num_threads) as pool:
                     for batch_idx, valid in self._batches_with_valid():
+                        # per-batch deterministic augmentation seed (same
+                        # scheme as the process workers). NOTE: with
+                        # num_threads > 1 the within-batch draw ORDER is
+                        # scheduler-dependent; build.py uses threads only
+                        # as the single-thread fallback
+                        _reseed(self.dataset,
+                                _batch_seed(self.seed, epoch, batch_idx))
                         samples = list(pool.map(
                             self.dataset.__getitem__, batch_idx))
-                        q.put((self.collate_fn(samples), valid))
+                        if not put((self.collate_fn(samples), valid)):
+                            return
             except BaseException as e:  # surface worker errors
-                q.put(e)
+                put(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer done or abandoned (e.g. a next(iter(loader)) shape
+            # probe): unblock the producer so it exits instead of pinning
+            # `prefetch` collated batches in memory for the process's life
+            closed.set()
 
     def _iter_processes(self):
         """Ordered sliding window of in-flight batch futures over the
@@ -328,7 +364,15 @@ class MultiTaskLoader:
                     if hasattr(self.loaders[i], "set_epoch"):
                         self.loaders[i].set_epoch(self.cycles[i])
                     iters[i] = iter(self.loaders[i])
-                    aux = next(iters[i])
+                    try:
+                        aux = next(iters[i])
+                    except StopIteration:
+                        # PEP 479 would surface this as an opaque
+                        # "generator raised StopIteration"
+                        raise ValueError(
+                            f"aux loader {i} is empty (dataset smaller "
+                            f"than its per-host batch under drop_last?) — "
+                            f"cannot zip with the master loader") from None
                 out.extend(aux)
             yield tuple(out)
 

@@ -45,24 +45,18 @@ def _load_params(config, state_params, ckpt_path):
         return flax.serialization.from_state_dict(
             jax.device_get(state_params), payload["params"])
 
-    if not ckpt_path.endswith((".model", ".bin", ".pt", ".pth")):
-        return load_native()
-    # '.model' is both the reference torch format and this framework's
-    # native format. Byte-sniffing is ambiguous (legacy pre-1.6 torch
-    # pickles start with 0x80 just like msgpack maps), so: PK zip header =
-    # torch; otherwise try native msgpack and fall back to the torch loader
-    # on any parse failure.
-    try:
-        with open(ckpt_path, "rb") as f:
-            head = f.read(2)
-    except OSError:
-        head = b""
-    if head[:2] == b"PK":
-        return load_torch()
-    try:
-        return load_native()
-    except Exception:
-        return load_torch()
+    from vlbert_tpu.training.convert import checkpoint_format
+
+    # content classification shared with the train engine ('.model' is both
+    # the reference torch format and this framework's native save; npz is
+    # the converter output — load_torch_or_native_checkpoint handles both
+    # npz and torch, returning flax-named flats for partial_load)
+    if checkpoint_format(ckpt_path) == "native":
+        try:
+            return load_native()
+        except Exception:
+            return load_torch()
+    return load_torch()
 
 
 def _n_labels(config, task, mode):

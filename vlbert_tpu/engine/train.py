@@ -105,7 +105,9 @@ def apply_warm_starts(state, config, logger=logger):
     from vlbert_tpu.training import convert as cvt
 
     def torch_flat(path, converter):
-        if path.endswith(".npz"):
+        # content-sniffed: '.model' is ambiguous between the reference's
+        # torch format and this framework's native/npz saves
+        if cvt.checkpoint_format(path) != "torch":
             return cvt.load_torch_or_native_checkpoint(path)
         flat, _ = converter(cvt.load_torch_blob(path))
         return flat
@@ -145,7 +147,10 @@ def apply_partial_pretrain(state, config):
     path = config.NETWORK.PARTIAL_PRETRAIN
     prefix_changes = [tuple(pc.split("->")) for pc in
                       config.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES]
-    if path.endswith(cvt.TORCH_CKPT_SUFFIXES):
+    # content-sniffed (checkpoint_format): this framework's own '.model'
+    # (msgpack) and converter '.npz' files carry flax names and take the
+    # translated rules; only real torch files take raw-name prefix changes
+    if cvt.checkpoint_format(path) == "torch":
         sd = cvt.load_torch_blob(path)
         sd = cvt.apply_reference_prefix_changes(sd, prefix_changes)
         flat = cvt.convert_torch_state_dict(sd)
@@ -242,6 +247,23 @@ def train_net(args, config, task):
         state = apply_partial_pretrain(state, config)
     state, begin_epoch, extra = ckpt_lib.smart_resume(
         model_prefix, state, config)
+
+    if jax.process_count() > 1:
+        # Multi-host agreement after per-host resume/warm-start decisions
+        # (ref: rank-0 NCCL broadcast of begin_epoch, best-val, and params,
+        # vcr/function/train.py:267-270,309-319). Without this, checkpoints
+        # on per-host disks leave ranks with different params and epoch
+        # counts — silently diverged "replicated" state and a hang at the
+        # epoch barrier.
+        from jax.experimental import multihost_utils as mhu
+
+        begin_epoch = int(mhu.broadcast_one_to_all(np.int64(begin_epoch)))
+        bv = extra.get("best_val")
+        bv_b = float(mhu.broadcast_one_to_all(
+            np.float64(bv if bv is not None else -np.inf)))
+        extra = dict(extra)
+        extra["best_val"] = None if np.isinf(bv_b) else bv_b
+        state = mhu.broadcast_one_to_all(state)
 
     validation_fn = None
     if val_loader is not None:

@@ -366,13 +366,59 @@ def translate_prefix_rules_for_native(prefix_changes):
     return out
 
 
+def checkpoint_format(path):
+    """Classify a checkpoint file: 'torch' | 'native' (flax msgpack) |
+    'npz' (tools/convert_checkpoint.py output).
+
+    Suffixes are ambiguous — '.model' is both the reference torch format
+    and this framework's native save, and torch>=1.6 zips share the PK
+    header with numpy's .npz — so classify by content: PK zips with
+    'data.pkl' are torch, PK zips of .npy members are npz, legacy pickles
+    (0x80 + protocol byte) are torch, everything else is native msgpack.
+    """
+    import zipfile
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+    except OSError:
+        return "native"
+    if head[:2] == b"PK":
+        try:
+            with zipfile.ZipFile(path) as z:
+                names = z.namelist()
+            if any(n.endswith("data.pkl") for n in names):
+                return "torch"
+            if names and all(n.endswith(".npy") for n in names):
+                return "npz"
+        except zipfile.BadZipFile:
+            pass
+        return "torch"
+    if len(head) >= 2 and head[0] == 0x80 and head[1] <= 0x05:
+        return "torch"      # legacy (pre-1.6) torch pickle
+    return "native"
+
+
+def load_npz_checkpoint(path):
+    """tools/convert_checkpoint.py output: flat {flax.dot.path: array}."""
+    import numpy as np
+
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
 def load_torch_or_native_checkpoint(path):
     """Load a checkpoint file into a flat {flax.path: array} dict.
 
     Accepts: reference '.model' ({'state_dict': ...}), raw torch bin
-    (pytorch_model.bin), or this framework's msgpack checkpoints.
+    (pytorch_model.bin), tools/convert_checkpoint.py '.npz' output, or
+    this framework's native msgpack checkpoints — classified by CONTENT
+    (checkpoint_format), never by suffix alone.
     """
-    if path.endswith(TORCH_CKPT_SUFFIXES):
+    fmt = checkpoint_format(path)
+    if fmt == "npz":
+        return load_npz_checkpoint(path)
+    if fmt == "torch":
         return convert_torch_state_dict(load_torch_blob(path))
     # native msgpack
     from vlbert_tpu.training.checkpoint import flatten_params, load_checkpoint

@@ -343,8 +343,12 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                                     cur, new_scale)
                         state = state.replace(opt_state=set_plateau_scale(
                             state.opt_state, new_scale))
-            if checkpoint_fn is not None \
-                    and (epoch + 1) % max(config.CHECKPOINT_FREQUENT, 1) == 0:
+            on_cadence = (epoch + 1) % max(config.CHECKPOINT_FREQUENT, 1) == 0
+            # also save off-cadence on best-val epochs: otherwise a best
+            # epoch between CHECKPOINT_FREQUENT saves is never mirrored and
+            # -best.model holds stale weights (the reference has the same
+            # miss, checkpoint.py:10-25 keyed on save epochs only)
+            if checkpoint_fn is not None and (on_cadence or is_best):
                 extra = {"best_val": best_val}
                 if plateau is not None:
                     extra["plateau"] = plateau.state_dict()
