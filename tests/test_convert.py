@@ -224,3 +224,79 @@ def test_mlm_transform_to_classifier():
     assert "final_mlp.transform_dense.kernel" in out
     assert "final_mlp.transform_LayerNorm.scale" in out
     assert "other.key" in out
+
+
+def test_align_vlbert_nesting():
+    """Task trees hold the encoder at 'vlbert.'; the pretrain tree nests it
+    at 'vlbert.bert.' with heads staying at 'vlbert.<head>'. The aligner
+    adapts flat checkpoints in BOTH directions; without it pretrain warm
+    starts silently loaded zero encoder weights."""
+    from vlbert_tpu.training.convert import align_vlbert_nesting
+
+    flat_task_style = {
+        "vlbert.encoder.layer_0.attention.self.query.kernel": 1,
+        "vlbert.word_embeddings.embedding": 2,
+        "vlbert.mlm_head.transform.dense.kernel": 3,
+        "final_mlp.dense_0.kernel": 4,
+    }
+    pretrain_tree = {"vlbert": {"bert": {"encoder": {}},
+                                "mlm_head": {}}}
+    out = align_vlbert_nesting(flat_task_style, pretrain_tree)
+    assert "vlbert.bert.encoder.layer_0.attention.self.query.kernel" in out
+    assert "vlbert.bert.word_embeddings.embedding" in out
+    assert "vlbert.mlm_head.transform.dense.kernel" in out   # head untouched
+    assert "final_mlp.dense_0.kernel" in out
+
+    flat_pretrain_style = {
+        "vlbert.bert.encoder.layer_0.output_dense.kernel": 1,
+        "vlbert.mvrc_head.transform_dense.kernel": 2,
+    }
+    task_tree = {"vlbert": {"encoder": {}}}
+    out = align_vlbert_nesting(flat_pretrain_style, task_tree)
+    assert "vlbert.encoder.layer_0.output_dense.kernel" in out
+    assert "vlbert.mvrc_head.transform_dense.kernel" in out
+
+
+def test_mlm_transform_accepts_prefixed_keys():
+    """convert_bert_checkpoint emits the MLM head under 'vlbert.'; the
+    mlm-classifier warm start must find it there (shipped VQA mlm configs
+    silently loaded nothing before)."""
+    import numpy as np
+
+    from vlbert_tpu.training.convert import mlm_transform_to_classifier
+
+    flat = {"vlbert.mlm_head.transform.dense.kernel": np.ones((4, 4)),
+            "vlbert.mlm_head.transform.dense.bias": np.ones(4)}
+    out = mlm_transform_to_classifier(flat)
+    assert "final_mlp.transform_dense.kernel" in out
+    assert "final_mlp.transform_dense.bias" in out
+
+
+def test_tp_rules_cover_fused_and_scanned_kernels():
+    """param_sharding_rules shards fused 'qkv' and scan-stacked [L,in,out]
+    kernels over the model axis (the product-default layouts)."""
+    import numpy as np
+
+    import jax
+    from vlbert_tpu.parallel.mesh import make_mesh, param_sharding_rules
+
+    mesh = make_mesh([4, 2], ("data", "model"))
+    params = {
+        "encoder": {
+            "layer_0": {"attention": {"self": {"qkv": {
+                "kernel": np.zeros((64, 192))}}}},
+            "layers": {"layer": {"intermediate_dense": {
+                "kernel": np.zeros((12, 64, 128))},
+                "output_dense": {"kernel": np.zeros((12, 128, 64))}}},
+        },
+        "word_embeddings": {"embedding": np.zeros((100, 64))},
+    }
+    rules = param_sharding_rules(mesh, params)
+    assert "model" in str(
+        rules["encoder"]["layer_0"]["attention"]["self"]["qkv"]["kernel"].spec)
+    assert "model" in str(
+        rules["encoder"]["layers"]["layer"]["intermediate_dense"]["kernel"].spec)
+    assert "model" in str(
+        rules["encoder"]["layers"]["layer"]["output_dense"]["kernel"].spec)
+    assert "model" not in str(
+        rules["word_embeddings"]["embedding"].spec)

@@ -749,3 +749,81 @@ def test_schedule_units_with_grad_accum():
     sched, base_lr = make_lr_schedule(cfg, steps_per_epoch=spe)
     np.testing.assert_allclose(float(sched(150)), base_lr, rtol=1e-6)
     np.testing.assert_allclose(float(sched(250)), base_lr * 0.1, rtol=1e-6)
+
+
+def test_native_pretrain_checkpoint_to_task_partial_pretrain(tmp_path):
+    """This framework's OWN pretrain checkpoint (msgpack '.model', encoder
+    nested at vlbert.bert.) fine-tunes a task model through
+    PARTIAL_PRETRAIN: content-sniffed routing + nesting alignment must load
+    the encoder weights (regression: 0 tensors loaded / torch.load crash)."""
+    from vlbert_tpu.engine.train import apply_partial_pretrain
+    from vlbert_tpu.training.checkpoint import flatten_params, save_checkpoint
+
+    HID, INTER, VOC, MAXP = 32, 64, 300, 64
+
+    def small(cfg):
+        v = cfg.NETWORK.VLBERT
+        v.hidden_size = HID; v.visual_size = HID; v.num_hidden_layers = 1
+        v.num_attention_heads = 2; v.intermediate_size = INTER
+        v.vocab_size = VOC; v.max_position_embeddings = MAXP
+        v.visual_ln = True; v.with_pooler = True
+        cfg.NETWORK.IMAGE_FINAL_DIM = HID
+        cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = True
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.FUSED_QKV = False
+
+    # 1. build + save a tiny PRETRAIN state natively
+    pcfg = default_config("pretrain")
+    pcfg.MODULE = "ResNetVLBERTForPretrainingMultitask"
+    small(pcfg)
+    pcfg.NETWORK.VLBERT.visual_region_classes = 7
+    pcfg.NETWORK.WITH_REL_LOSS = True
+    pm = build_module(pcfg, "pretrain", dtype=jnp.float32,
+                      mask_visual_feat_dim=HID)
+    B, O, T, T2 = 2, 4, 10, 12
+    r = np.random.default_rng(0)
+    boxes = np.full((B, O, 4 + HID), -2.0, np.float32)
+    boxes[:, :3, :4] = 10.0; boxes[:, :3, 2:4] = 40.0
+    boxes[:, :3, 4:] = r.normal(size=(B, 3, HID))
+    pbatch = (None, jnp.asarray(boxes),
+              jnp.asarray([[100, 80, 1, 1]] * B, jnp.float32),
+              jnp.asarray(r.integers(1, VOC, (B, T)), jnp.int32),
+              jnp.asarray([0, 1], jnp.int32),
+              jnp.full((B, T), -1, jnp.int32), jnp.zeros((B, O), jnp.int32),
+              jnp.zeros((B, O, 7), jnp.float32),
+              jnp.asarray(r.integers(1, VOC, (B, T2)), jnp.int32),
+              jnp.full((B, T2), -1, jnp.int32))
+    pparams = pm.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, *pbatch, train=True)
+    pstate = TrainState(params=pparams, opt_state=None,
+                        step=jnp.zeros((), jnp.int32))
+    ckpt = save_checkpoint(str(tmp_path / "pt"), 0, pstate)
+    pflat = flatten_params(jax.device_get(pparams["params"]))
+    src_key = "vlbert.bert.encoder.layer_0.attention.self.query.kernel"
+    assert src_key in pflat     # pretrain nesting confirmed
+
+    # 2. fine-tune target: tiny VQA model, PARTIAL_PRETRAIN = native ckpt
+    tcfg = default_config("vqa")
+    tcfg.MODULE = "ResNetVLBERT"
+    small(tcfg)
+    tcfg.DATASET.ANSWER_VOCAB_SIZE = 8
+    tcfg.NETWORK.CLASSIFIER_TYPE = "1fc"
+    tcfg.NETWORK.PARTIAL_PRETRAIN = ckpt
+    tcfg.NETWORK.PARTIAL_PRETRAIN_PREFIX_CHANGES = []
+    m = build_module(tcfg, "vqa", dtype=jnp.float32)
+    tb = (None, jnp.zeros((1, O, 4 + HID)), jnp.ones((1, O), bool),
+          jnp.asarray([[64, 64, 1, 1]], jnp.float32),
+          jnp.ones((1, T), jnp.int32), jnp.zeros((1, T), jnp.int32),
+          jnp.ones((1, T), bool), jnp.full((1,), T - 1, jnp.int32),
+          jnp.zeros((1, 8)))
+    tparams = m.init({"params": jax.random.PRNGKey(5),
+                      "dropout": jax.random.PRNGKey(6)}, *tb, train=True)
+    tstate = TrainState(params=tparams, opt_state=None,
+                        step=jnp.zeros((), jnp.int32))
+    tstate2 = apply_partial_pretrain(tstate, tcfg)
+    tflat = flatten_params(jax.device_get(tstate2.params["params"]))
+    dst_key = "vlbert.encoder.layer_0.attention.self.query.kernel"
+    np.testing.assert_array_equal(tflat[dst_key], pflat[src_key])
+    np.testing.assert_array_equal(
+        tflat["vlbert.word_embeddings.embedding"],
+        pflat["vlbert.bert.word_embeddings.embedding"])

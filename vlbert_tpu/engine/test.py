@@ -27,14 +27,20 @@ logger = logging.getLogger(__name__)
 
 def _load_params(config, state_params, ckpt_path):
     def load_torch():
-        from vlbert_tpu.training.convert import (fuse_qkv_params,
-                                                 load_torch_or_native_checkpoint)
+        from vlbert_tpu.training.convert import (align_vlbert_nesting,
+                                                 fuse_qkv_params,
+                                                 load_torch_or_native_checkpoint,
+                                                 stack_layer_params)
 
         flat = load_torch_or_native_checkpoint(ckpt_path)
+        params_host = jax.device_get(state_params["params"])
+        flat = align_vlbert_nesting(flat, params_host)
         if config.TPU.get("FUSED_QKV", False):
             flat = fuse_qkv_params(flat)
-        new_params, loaded = ckpt_lib.partial_load(
-            jax.device_get(state_params["params"]), flat)
+        if config.TPU.get("SCAN_LAYERS", False):
+            flat = stack_layer_params(
+                flat, config.NETWORK.VLBERT.num_hidden_layers)
+        new_params, loaded = ckpt_lib.partial_load(params_host, flat)
         logger.info("loaded %d tensors from %s", len(loaded), ckpt_path)
         return {**state_params, "params": new_params}
 

@@ -119,8 +119,12 @@ def apply_warm_starts(state, config, logger=logger):
         logger.info("image warm start %s: %d tensors", img_path, len(loaded))
     if lang_path:
         flat = torch_flat(lang_path, cvt.convert_bert_checkpoint)
+        flat = cvt.align_vlbert_nesting(flat, params_host)
         if config.TPU.get("FUSED_QKV", False):
             flat = cvt.fuse_qkv_params(flat)
+        if config.TPU.get("SCAN_LAYERS", False):
+            flat = cvt.stack_layer_params(
+                flat, config.NETWORK.VLBERT.num_hidden_layers)
         params_host, loaded = ckpt_lib.partial_load(params_host, flat)
         logger.info("language warm start %s: %d tensors", lang_path,
                     len(loaded))
@@ -158,6 +162,10 @@ def apply_partial_pretrain(state, config):
     else:
         flat = cvt.load_torch_or_native_checkpoint(path)
         load_changes = cvt.translate_prefix_rules_for_native(prefix_changes)
+    params_host = jax.device_get(state.params["params"])
+    # align 'vlbert.' vs 'vlbert.bert.' nesting with the TARGET tree before
+    # the surgeries (which key on the canonical task-style names)
+    flat = cvt.align_vlbert_nesting(flat, params_host)
     if config.TPU.get("FUSED_QKV", False):
         flat = cvt.fuse_qkv_params(flat)
     flat = nsp_to_binary_classifier_surgery(flat, config)
@@ -165,9 +173,11 @@ def apply_partial_pretrain(state, config):
     if config.NETWORK.get("CLASSIFIER_PRETRAINED", False) \
             and config.NETWORK.CLASSIFIER_TYPE == "mlm":
         flat = cvt.mlm_transform_to_classifier(flat)
+    if config.TPU.get("SCAN_LAYERS", False):
+        flat = cvt.stack_layer_params(
+            flat, config.NETWORK.VLBERT.num_hidden_layers)
     new_params, loaded = ckpt_lib.partial_load(
-        jax.device_get(state.params["params"]), flat,
-        prefix_changes=load_changes)
+        params_host, flat, prefix_changes=load_changes)
     logger.info("partial pretrain %s: loaded %d tensors", path, len(loaded))
     return state.replace(params={**state.params, "params": new_params})
 

@@ -75,31 +75,41 @@ def shard_batch(batch, mesh, batch_dim=0):
 
 
 def param_sharding_rules(mesh, params):
-    """Sharding for the param tree.
+    """Sharding for the param tree (TP building block; the training loop
+    itself runs pure DP — SURVEY §2.6 marks TP as an optional extra).
 
     Pure DP: everything replicated. With a 'model' axis in the mesh, large
     matmul weights (attention/FFN kernels) are sharded over it on their
     output dim — enough to fit VL-BERT-large activations+optimizer state on
-    small chips; XLA inserts the all-gathers/reduce-scatters.
+    small chips; XLA inserts the all-gathers/reduce-scatters. Covers all
+    three encoder layouts: separate q/k/v, fused 'qkv', and scan-stacked
+    [L, in, out] kernels.
     """
     if "model" not in mesh.axis_names or mesh.shape.get("model", 1) == 1:
         rep = replicated(mesh)
         return jax.tree_util.tree_map(lambda _: rep, params)
 
     mdl = mesh.shape["model"]
+    COL = ("intermediate", "query", "key", "value", "qkv")   # output-sharded
+    ROW = ("output_dense",)                                  # input-sharded
 
     def rule(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         joined = "/".join(str(n) for n in names)
-        if leaf.ndim == 2 and leaf.shape[-1] % mdl == 0 and (
-                "kernel" in joined and ("intermediate" in joined
-                                        or "query" in joined
-                                        or "key" in joined
-                                        or "value" in joined)):
-            return NamedSharding(mesh, P(None, "model"))
-        if leaf.ndim == 2 and leaf.shape[0] % mdl == 0 and (
-                "kernel" in joined and "output_dense" in joined):
-            return NamedSharding(mesh, P("model", None))
+        if "kernel" not in joined:
+            return replicated(mesh)
+        col = any(t in joined for t in COL)
+        row = any(t in joined for t in ROW)
+        if leaf.ndim == 2:
+            if col and leaf.shape[-1] % mdl == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            if row and leaf.shape[0] % mdl == 0:
+                return NamedSharding(mesh, P("model", None))
+        elif leaf.ndim == 3:      # scan-stacked: [L, in, out]
+            if col and leaf.shape[-1] % mdl == 0:
+                return NamedSharding(mesh, P(None, None, "model"))
+            if row and leaf.shape[1] % mdl == 0:
+                return NamedSharding(mesh, P(None, "model", None))
         return replicated(mesh)
 
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -140,6 +140,12 @@ def smart_resume(prefix, state, config):
     AUTO_RESUME scans downward. Returns (state, begin_epoch, extra)."""
     t = config.TRAIN
     if t.RESUME:
+        if t.BEGIN_EPOCH < 1:
+            raise ValueError(
+                "TRAIN.RESUME requires TRAIN.BEGIN_EPOCH >= 1 (the epoch to "
+                "resume INTO; the checkpoint {prefix}-{BEGIN_EPOCH-1:04d}"
+                ".model is loaded) — got BEGIN_EPOCH="
+                f"{t.BEGIN_EPOCH}")
         epoch = t.BEGIN_EPOCH - 1
         path = f"{prefix}-{epoch:04d}.model"
         state, extra = load_checkpoint(path, state)

@@ -265,12 +265,8 @@ def convert_bert_checkpoint(sd, target_prefix="vlbert."):
     # rows 1 and 2 copied from row 0; 2-row checkpoints get row 2 = row 1
     tt = flat.get(f"{target_prefix}token_type_embeddings.embedding")
     if tt is not None and tt.shape[0] < 3:
-        rows = [tt[i] if i < tt.shape[0] else tt[min(i, tt.shape[0] - 1)]
-                for i in range(3)]
-        if tt.shape[0] == 1:
-            rows = [tt[0], tt[0], tt[0]]
-        elif tt.shape[0] == 2:
-            rows = [tt[0], tt[1], tt[1]]
+        rows = [tt[0], tt[0], tt[0]] if tt.shape[0] == 1 \
+            else [tt[0], tt[1], tt[1]]
         flat[f"{target_prefix}token_type_embeddings.embedding"] = np.stack(rows)
     return flat, skipped
 
@@ -407,6 +403,36 @@ def load_npz_checkpoint(path):
         return {k: z[k] for k in z.files}
 
 
+VLBERT_HEAD_PREFIXES = ("mlm_head", "relationship_head", "mvrc_head")
+
+
+def align_vlbert_nesting(flat, params_tree):
+    """Align 'vlbert.*' keys with the target tree's nesting.
+
+    Task models hold the encoder directly under 'vlbert.'; the PRETRAIN
+    model nests it one level deeper as 'vlbert.bert.' (task_modules wraps
+    VisualLinguisticBertForPretraining as name='vlbert', whose base model
+    is name='bert', models/vlbert.py) with the pretraining heads staying at
+    'vlbert.<head>'. Converter output uses the task-style flat form; native
+    checkpoints carry whichever tree produced them. Without this step a
+    pretrain warm start (or a task fine-tune from a native pretrain
+    checkpoint) silently loads no encoder/embedding weights.
+    """
+    vl = params_tree.get("vlbert") if isinstance(params_tree, dict) else None
+    tree_nested = isinstance(vl, dict) and "bert" in vl
+    out = {}
+    for k, v in flat.items():
+        if k.startswith("vlbert."):
+            rest = k[len("vlbert."):]
+            is_head = rest.startswith(VLBERT_HEAD_PREFIXES)
+            if tree_nested and not rest.startswith("bert.") and not is_head:
+                k = "vlbert.bert." + rest
+            elif not tree_nested and rest.startswith("bert."):
+                k = "vlbert." + rest[len("bert."):]
+        out[k] = v
+    return out
+
+
 def load_torch_or_native_checkpoint(path):
     """Load a checkpoint file into a flat {flax.path: array} dict.
 
@@ -488,6 +514,11 @@ def mlm_transform_to_classifier(flat):
     }
     out = dict(flat)
     for src, dst in mapping.items():
-        if src in flat:
-            out[dst] = flat[src]
+        # converters emit the head under the 'vlbert.' prefix (and native
+        # pretrain checkpoints under 'vlbert.bert.'-less head paths); accept
+        # any nesting of the source key
+        for k in (src, "vlbert." + src, "vlbert.bert." + src):
+            if k in flat:
+                out[dst] = flat[k]
+                break
     return out
