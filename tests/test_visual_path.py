@@ -143,3 +143,50 @@ def test_fast_rcnn_mvrc_masking(rng):
     np.testing.assert_allclose(a[0, 0], b[0, 0], rtol=1e-6)
     np.testing.assert_allclose(a[0, 2], b[0, 2], rtol=1e-6)
     assert np.abs(a[0, 1] - b[0, 1]).max() > 1e-4
+
+
+def test_mid_network_freeze_keeps_upstream_grads(rng):
+    """frozen_stages=[3,4,5] (non-prefix): the stem must still receive
+    gradients — the stop_gradient DCE applies only when EVERY stage is
+    frozen (param freezing itself lives in the optimizer mask)."""
+    from vlbert_tpu.models.fast_rcnn import FastRCNN
+
+    fr = FastRCNN(num_layers=18, final_dim=32, image_feat_precomputed=False,
+                  frozen_stages=(3, 4, 5), image_semantic=False,
+                  dtype=jnp.float32)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray([[[2.0, 2.0, 60.0, 60.0]]])
+    bmask = jnp.ones((1, 1), bool)
+    ii = jnp.asarray([[64.0, 64.0, 1, 1]])
+    fp = fr.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, img, boxes, bmask, ii)
+    g = jax.grad(lambda p: jnp.sum(
+        fr.apply(p, img, boxes, bmask, ii)["obj_reps"] ** 2))(fp)
+    stem = max(float(jnp.max(jnp.abs(x))) for x in
+               jax.tree_util.tree_leaves(g["params"]["backbone"]["conv1"]))
+    assert stem > 0
+
+
+def test_mvrc_mask_with_image_semantic(rng):
+    """MVRC feature masking + IMAGE_SEMANTIC class embedding together:
+    the mask applies to the bare visual features BEFORE the class-embed
+    concat (a post-concat mask cannot broadcast; the reference crashes on
+    this combination)."""
+    from vlbert_tpu.models.fast_rcnn import FastRCNN
+
+    fr = FastRCNN(num_layers=18, final_dim=32, image_feat_precomputed=False,
+                  image_semantic=True, dtype=jnp.float32)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray([[[2.0, 2.0, 60.0, 60.0], [4.0, 4.0, 30.0, 30.0]]])
+    bmask = jnp.ones((1, 2), bool)
+    ii = jnp.asarray([[64.0, 64.0, 1, 1]])
+    classes = jnp.zeros((1, 2), jnp.int32)
+    mvrc_ops = jnp.asarray([[1, 0]], jnp.int32)
+    mask_emb = jnp.zeros((512,), jnp.float32)
+    p = fr.init({"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, img, boxes, bmask, ii,
+                classes=classes, mvrc_ops=mvrc_ops,
+                mask_visual_embed=mask_emb)
+    out = fr.apply(p, img, boxes, bmask, ii, classes=classes,
+                   mvrc_ops=mvrc_ops, mask_visual_embed=mask_emb)
+    assert np.isfinite(np.asarray(out["obj_reps"], np.float32)).all()

@@ -114,27 +114,42 @@ class FastRCNN(nn.Module):
             # (ref :95-98); handled by the optimizer mask (optim.py
             # trainable_mask) so gradients still FLOW THROUGH the head to
             # stages 3-4. stop_gradient here is only a backward-DCE
-            # optimization, valid when everything upstream is frozen too.
-            if {3, 4, 5} <= set(self.frozen_stages):
+            # optimization — valid only when EVERY upstream stage (1-4, not
+            # just 3-4) is frozen, else it would zero trainable stages'
+            # grads while weight decay keeps shrinking them.
+            if {1, 2, 3, 4, 5} <= set(self.frozen_stages):
                 post_roialign = jax.lax.stop_gradient(post_roialign)
 
         obj_labels = classes.astype(jnp.int32) if classes is not None else None
 
         outputs = {}
         if (not self.image_feat_precomputed) and self.enable_cnn_reg_loss:
+            if obj_labels is None:
+                # the reference crashes here (F.cross_entropy(None));
+                # training against fabricated zeros would silently push
+                # every ROI toward class 0
+                raise ValueError(
+                    "enable_cnn_reg_loss requires per-box `classes`")
             # ref :102-103,160-163: 81-way classifier on pooled roi features
             obj_logits = nn.Dense(
                 81, dtype=self.dtype, param_dtype=jnp.float32,
                 name="regularizing_predictor")(post_roialign.astype(self.dtype))
             obj_logits = obj_logits.astype(jnp.float32)
-            labels = obj_labels if obj_labels is not None else jnp.zeros((B, O), jnp.int32)
             logp = jax.nn.log_softmax(obj_logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+            nll = -jnp.take_along_axis(
+                logp, obj_labels[..., None], axis=-1)[..., 0]
             cnn_reg = jnp.sum(nll * maskf) / jnp.maximum(jnp.sum(maskf), 1.0)
-            outputs.update(obj_logits=obj_logits, obj_labels=labels,
+            outputs.update(obj_logits=obj_logits, obj_labels=obj_labels,
                            cnn_regularization_loss=cnn_reg)
 
         feats = post_roialign
+        if mvrc_ops is not None and mask_visual_embed is not None:
+            # replace masked regions' visual features (ref :167-169) BEFORE
+            # the class-embedding concat: mask_visual_embed has the bare
+            # visual dim and cannot broadcast into the concat'd features
+            feats = jnp.where((mvrc_ops == 1)[..., None],
+                              mask_visual_embed.astype(feats.dtype), feats)
+
         if self.image_semantic and obj_labels is not None:
             class_emb = nn.Embed(
                 81, 128, param_dtype=jnp.float32, dtype=self.dtype,
@@ -142,11 +157,6 @@ class FastRCNN(nn.Module):
                 name="object_embed")(jnp.clip(obj_labels, 0, 80))
             feats = jnp.concatenate(
                 [feats.astype(self.dtype), class_emb], axis=-1)  # ref :165-166
-
-        if mvrc_ops is not None and mask_visual_embed is not None:
-            # replace masked regions' visual features (ref :167-169)
-            feats = jnp.where((mvrc_ops == 1)[..., None],
-                              mask_visual_embed.astype(feats.dtype), feats)
 
         # coordinate embeddings: boxes + (w_img, h_img) -> [B,O,4,512] -> 2048
         coord_in = jnp.concatenate(

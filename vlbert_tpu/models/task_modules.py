@@ -49,6 +49,18 @@ def collect_obj_reps(span_tags, object_reps):
     return out.reshape(*tags.shape, object_reps.shape[-1])
 
 
+def generic_obj_vl_embeddings(embed_table, obj_reps, mask_fn=None):
+    """cat(visual feature, GENERIC object linguistic embedding) — the
+    mode-2 object VL assembly shared by VQA/RefCOCO/pretraining/vis
+    (ref e.g. vqa module :137-142); ``mask_fn`` lets pretraining swap the
+    masked regions' linguistic embedding first (ref :140-141)."""
+    B, O = obj_reps.shape[:2]
+    obj_ling = embed_table(jnp.zeros((B, O), jnp.int32))
+    if mask_fn is not None:
+        obj_ling = mask_fn(obj_ling)
+    return jnp.concatenate([obj_reps, obj_ling.astype(obj_reps.dtype)], -1)
+
+
 class MVRCHeadTransform(nn.Module):
     """dense+act transform (ref: common/visual_linguistic_bert.py:473-486)."""
 
@@ -159,6 +171,12 @@ class ResNetVLBERTForVCR(nn.Module):
                     embedding_init=nn.initializers.normal(0.02),
                     param_dtype=jnp.float32, dtype=vl.dtype,
                     name="object_linguistic_embeddings")
+            elif self.object_word_embed_mode != 3:
+                # the reference raises too (ref vcr module :33-34); a typo'd
+                # mode would otherwise silently take the mode-3 branch
+                raise NotImplementedError(
+                    f"object_word_embed_mode "
+                    f"{self.object_word_embed_mode!r} (supported: 1, 2, 3)")
             if self.enable_cnn_reg_loss and self.cnn_loss_top:
                 self.cnn_loss_transform = MVRCHeadTransform(
                     vl.hidden_size, vl.hidden_act, vl.initializer_range,
@@ -305,6 +323,12 @@ class ResNetVLBERTForVCR(nn.Module):
         if not (self.enable_cnn_reg_loss and not net.BLIND):
             return None, loss
         if not self.cnn_loss_top:
+            if "cnn_regularization_loss" not in obj_reps:
+                raise ValueError(
+                    "ENABLE_CNN_REG_LOSS with CNN_LOSS_TOP=false needs the "
+                    "end-to-end visual path (IMAGE_FEAT_PRECOMPUTED=true "
+                    "computes no FastRCNN reg loss — set CNN_LOSS_TOP=true "
+                    "or disable the reg loss)")
             cnn_reg = obj_reps["cnn_regularization_loss"]
         else:
             # classifier on object hidden states (ref :391-397)
@@ -431,10 +455,8 @@ class ResNetVLBERTForVQA(nn.Module):
                 if net.NO_GROUNDING else obj_reps["obj_reps"])
         text_visual = collect_obj_reps(text_tags, reps)
 
-        obj_ling = self.object_linguistic_embeddings(
-            jnp.zeros((B, O), jnp.int32))
-        obj_vl = jnp.concatenate(
-            [obj_reps["obj_reps"], obj_ling.astype(obj_reps["obj_reps"].dtype)], -1)
+        obj_vl = generic_obj_vl_embeddings(
+            self.object_linguistic_embeddings, obj_reps["obj_reps"])
 
         hidden, _pooled = self.vlbert(
             text_input_ids, text_token_type_ids, text_visual, text_mask,
@@ -495,10 +517,8 @@ class ResNetVLBERTForRefCOCO(nn.Module):
             (B, text_input_ids.shape[1], obj_reps["obj_reps"].shape[-1]))
         text_token_type_ids = jnp.zeros_like(text_input_ids)
 
-        obj_ling = self.object_linguistic_embeddings(
-            jnp.zeros((B, O), jnp.int32))
-        obj_vl = jnp.concatenate(
-            [obj_reps["obj_reps"], obj_ling.astype(obj_reps["obj_reps"].dtype)], -1)
+        obj_vl = generic_obj_vl_embeddings(
+            self.object_linguistic_embeddings, obj_reps["obj_reps"])
 
         _h_text, h_regions, _ = self.vlbert(
             text_input_ids, text_token_type_ids, text_visual, text_mask,
@@ -567,6 +587,15 @@ class ResNetVLBERTForPretrainingMultitask(nn.Module):
                 "object_mask_word_embedding",
                 nn.initializers.normal(vl.initializer_range),
                 (vl.hidden_size,), jnp.float32)
+        if self.with_aux and net.IMAGE_FINAL_DIM != vl.hidden_size:
+            # the (hidden_size,) aux embedding stands in for the visual
+            # feature rows (ref :28,:177), which are IMAGE_FINAL_DIM wide —
+            # the reference carries the same assumption; fail with a clear
+            # message instead of a bare broadcast error at trace time
+            raise ValueError(
+                f"multitask pretraining requires IMAGE_FINAL_DIM "
+                f"({net.IMAGE_FINAL_DIM}) == VLBERT.hidden_size "
+                f"({vl.hidden_size}) for the aux text-visual embedding")
         self.aux_text_visual_embedding = self.param(
             "aux_text_visual_embedding",
             nn.initializers.normal(vl.initializer_range),
@@ -605,15 +634,17 @@ class ResNetVLBERTForPretrainingMultitask(nn.Module):
         text_tags = jnp.zeros_like(text)
         text_visual = collect_obj_reps(text_tags, obj_reps["obj_reps"])
 
-        obj_ling = self.object_linguistic_embeddings(
-            jnp.zeros((B, O), jnp.int32))
-        if net.WITH_MVRC_LOSS:                                # ref :161-162
-            obj_ling = jnp.where(
+        def mask_ling(obj_ling):                              # ref :161-162
+            if not net.WITH_MVRC_LOSS:
+                return obj_ling
+            return jnp.where(
                 (mvrc_ops == 1)[..., None],
                 self.object_mask_word_embedding.astype(obj_ling.dtype),
                 obj_ling)
-        obj_vl = jnp.concatenate(
-            [obj_reps["obj_reps"], obj_ling.astype(obj_reps["obj_reps"].dtype)], -1)
+
+        obj_vl = generic_obj_vl_embeddings(
+            self.object_linguistic_embeddings, obj_reps["obj_reps"],
+            mask_fn=mask_ling)
 
         if self.with_aux and aux_text is not None:
             # batch-concat with aux text-only rows (ref :165-182)
@@ -703,8 +734,6 @@ class ResNetVLBERTForPretrainingMultitask(nn.Module):
         """Forward-only pass returning per-layer attention probabilities
         (ref: pretrain/modules/resnet_vlbert_for_attention_vis.py:14-60,
         driven by pretrain/function/vis.py:110-142)."""
-        cfg, vl = self.config, self.vl_config
-        net = cfg.NETWORK
         B, O = boxes.shape[0], boxes.shape[1]
         box_mask = boxes[:, :, 0] > -1.5
 
@@ -712,10 +741,8 @@ class ResNetVLBERTForPretrainingMultitask(nn.Module):
             image, boxes, box_mask, im_info, deterministic=True)
         text_tags = jnp.zeros_like(text)
         text_visual = collect_obj_reps(text_tags, obj_reps["obj_reps"])
-        obj_ling = self.object_linguistic_embeddings(
-            jnp.zeros((B, O), jnp.int32))
-        obj_vl = jnp.concatenate(
-            [obj_reps["obj_reps"], obj_ling.astype(obj_reps["obj_reps"].dtype)], -1)
+        obj_vl = generic_obj_vl_embeddings(
+            self.object_linguistic_embeddings, obj_reps["obj_reps"])
         text_mask = text > 0
         text_types = jnp.zeros_like(text)
 
