@@ -75,9 +75,12 @@ def _slope_time(run_k, k1=6, k2=18):
     wall time. The slope (t2 - t1) / (k2 - k1) cancels the tunnel round
     trip and any fixed dispatch overhead.
     """
+    # DISJOINT input ranges per run: re-running base=0 would re-issue
+    # byte-identical executions, which the device tunnel can dedupe —
+    # exactly the artifact this timing scheme exists to avoid
     run_k(2, 0)                      # warm
-    t1 = run_k(k1, 0)
-    t2 = run_k(k2, 0)
+    t1 = run_k(k1, 2)
+    t2 = run_k(k2, 2 + k1)
     return (t2 - t1) / (k2 - k1)
 
 
@@ -98,7 +101,7 @@ def fwd_bench(B=16, IMG=608, O=36, C=4, T=48):
     jax.block_until_ready(fwd(params, *args)["label_logits"])  # compile
     flops = _flops_of(fwd, params, *args)
 
-    n_iter = 20
+    n_iter = 28                      # warm 0..1, t1 2..7, t2 8..25
     images = [jax.device_put(np.asarray(args[0]) + 0.01 * i)
               for i in range(n_iter)]
     jax.block_until_ready(images[-1])
@@ -117,6 +120,10 @@ def fwd_bench(B=16, IMG=608, O=36, C=4, T=48):
         return time.time() - t0
 
     dt = _slope_time(run_k)
+    if flops and flops / dt / V5E_PEAK_BF16 > 1.0:
+        raise RuntimeError(
+            f"impossible MFU {flops / dt / V5E_PEAK_BF16:.2f} > 1 — timing "
+            "artifact (early barrier / dedupe); rejecting the reading")
     return {
         "img_per_s": round(B / dt, 2),
         "ms_per_batch": round(dt * 1e3, 3),
@@ -166,7 +173,7 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48):
     with mesh:
         state = jax.device_put(state, rep)
         sb = shard_batch(batch, mesh, batch_dim=0 if accum == 1 else 1)
-        imgs = [jax.device_put(sb[0] + 0.01 * i) for i in range(20)]
+        imgs = [jax.device_put(sb[0] + 0.01 * i) for i in range(28)]
         jax.block_until_ready(imgs)
         rng = jax.random.PRNGKey(0)
         s, l, _ = jit_step(state, (imgs[0],) + sb[1:], rng)
@@ -193,6 +200,10 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48):
 
         dt = _slope_time(run_k, k1=6, k2=18)
         assert len(set(lvs)) == len(lvs), f"dedupe artifact: {lvs}"
+    if flops and flops * accum / dt / V5E_PEAK_BF16 > 1.0:
+        raise RuntimeError(
+            f"impossible MFU {flops * accum / dt / V5E_PEAK_BF16:.2f} > 1 — "
+            "timing artifact; rejecting the reading")
     eff_b = B * accum
     # XLA's cost analysis counts a lax.scan body ONCE (measured: identical
     # flops reported for accum=1 and accum=4); scale by trip count

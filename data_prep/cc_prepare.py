@@ -29,17 +29,29 @@ def tsv_to_urls(tsv_path, out_prefix):
     return len(urls)
 
 
-def check_valid(rows):
+def check_valid(rows, base_dir=""):
+    """Drop rows whose image fails to open. Paths are resolved against
+    ``base_dir`` (db rows store dataset-relative paths — resolving against
+    the CWD silently dropped EVERY row when run from elsewhere)."""
     from PIL import Image
 
-    good = []
+    good, bad = [], 0
     for r in rows:
+        path = r["image"] if os.path.isabs(r["image"]) \
+            else os.path.join(base_dir, r["image"])
         try:
-            with Image.open(r["image"]) as im:
+            with Image.open(path) as im:
                 im.verify()
             good.append(r)
         except Exception:
-            pass
+            bad += 1
+    if bad:
+        print(f"check_valid: dropped {bad}/{len(rows)} rows "
+              f"(unreadable images under {base_dir or '.'})")
+    if rows and not good:
+        raise SystemExit(
+            f"check_valid dropped ALL {len(rows)} rows — wrong base dir? "
+            f"(resolved against {base_dir or 'the current directory'})")
     return good
 
 
@@ -54,7 +66,7 @@ def build_db(captions_file, image_dir, frcnn_dir, out_path, validate=False):
         rows.append({"image": os.path.join(image_dir, f"{i}.jpg"),
                      "frcnn": frcnn, "caption": caption})
     if validate:
-        rows = check_valid(rows)
+        rows = check_valid(rows, base_dir=os.path.dirname(os.path.abspath(out_path)))
     with open(out_path, "w") as f:
         f.write("\n".join(json.dumps(r) for r in rows))
     print(f"wrote {len(rows)} rows to {out_path}")

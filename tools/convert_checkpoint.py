@@ -45,7 +45,9 @@ def main():
         for s in skipped:
             print(f"  SKIPPED {s}")
     np.savez(args.dst, **flat)
-    print(f"converted {len(flat)} tensors ({len(skipped)} skipped) -> {args.dst}")
+    # np.savez appends '.npz' when absent — report the REAL output path
+    dst = args.dst if args.dst.endswith(".npz") else args.dst + ".npz"
+    print(f"converted {len(flat)} tensors ({len(skipped)} skipped) -> {dst}")
 
 
 if __name__ == "__main__":

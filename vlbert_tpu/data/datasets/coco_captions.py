@@ -114,7 +114,7 @@ class COCOCaptionsDataset(ConceptualCaptionsDataset):
 
 
 def build_coco_captions_db(captions_file, instances_file, image_dir,
-                           out_dir, num_classes=81):
+                           out_dir, num_classes=81, split="train"):
     """Produce a jsonl db + per-image frcnn-format json files from COCO
     captions + instances annotations. Boxes are gt instances with one-hot
     class-score rows over the contiguous category remap (ref :89-108)."""
@@ -124,6 +124,11 @@ def build_coco_captions_db(captions_file, instances_file, image_dir,
         inst = json.load(f)
 
     cat_ids = sorted({c["id"] for c in inst["categories"]})
+    if len(cat_ids) + 1 > num_classes:
+        raise ValueError(
+            f"{len(cat_ids)} categories do not fit num_classes="
+            f"{num_classes} (need >= {len(cat_ids) + 1} incl. background); "
+            "a modulo wrap would silently alias categories")
     cat_remap = {cid: i + 1 for i, cid in enumerate(cat_ids)}  # 0 = bg
     imgs = {i["id"]: i for i in caps["images"]}
     img_anns = {}
@@ -139,13 +144,18 @@ def build_coco_captions_db(captions_file, instances_file, image_dir,
         anns = img_anns.get(cap["image_id"], [])
         if not anns:
             continue
+        # clamp extents like the live _index path: COCO has sub-pixel
+        # widths whose x+w-1 would invert the box
         boxes = np.asarray(
             [[a["bbox"][0], a["bbox"][1],
-              a["bbox"][0] + a["bbox"][2] - 1,
-              a["bbox"][1] + a["bbox"][3] - 1] for a in anns], np.float32)
+              a["bbox"][0] + max(a["bbox"][2] - 1, 0),
+              a["bbox"][1] + max(a["bbox"][3] - 1, 0)] for a in anns],
+            np.float32)
         classes = np.zeros((len(anns), num_classes), np.float32)
         for i, a in enumerate(anns):
-            classes[i, cat_remap.get(a["category_id"], 0) % num_classes] = 1.0
+            # strict: an unknown category id must fail loudly (the live
+            # dataset path raises KeyError for the same data)
+            classes[i, cat_remap[a["category_id"]]] = 1.0
         frcnn_fn = f"frcnn/{cap['image_id']}.json"
         frcnn_path = os.path.join(out_dir, frcnn_fn)
         if not os.path.exists(frcnn_path):
@@ -162,7 +172,7 @@ def build_coco_captions_db(captions_file, instances_file, image_dir,
             "caption": cap["caption"],
         })
 
-    db_path = os.path.join(out_dir, "train_frcnn.json")
+    db_path = os.path.join(out_dir, f"{split}_frcnn.json")
     with open(db_path, "w") as f:
         f.write("\n".join(json.dumps(r) for r in rows))
     return db_path, len(rows)

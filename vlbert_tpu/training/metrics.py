@@ -21,9 +21,11 @@ import jax.numpy as jnp
 def _sample_valid(outputs, B):
     """Per-sample validity [B]: 1 for real samples, 0 for the loader's
     wrap-padding duplicates (only validation batches carry 'valid' —
-    training counts every sample, as the reference does)."""
+    training counts every sample, as the reference does). Falls back to
+    all-ones when the metric's batch dim differs from the loader batch
+    (e.g. the multitask aux stream)."""
     v = outputs.get("valid")
-    if v is None:
+    if v is None or v.shape[0] != B:
         return jnp.ones((B,), jnp.float32), float(B)
     vf = v.astype(jnp.float32)
     return vf, jnp.sum(vf)
@@ -120,15 +122,17 @@ def relationship_accuracy(outputs):
     """ref: pretrain_metrics.py:20-31."""
     logits = outputs["relationship_logits"]
     label = outputs["relationship_label"]
+    vf, n = _sample_valid(outputs, logits.shape[0])
     correct = (jnp.argmax(logits, axis=1) == label).astype(jnp.float32)
-    return jnp.sum(correct), logits.shape[0]
+    return jnp.sum(correct * vf), n
 
 
 def mlm_accuracy(outputs, logits_key="mlm_logits_wvc", label_key="mlm_label_wvc"):
     """ref: pretrain_metrics.py MLMAccuracy — over positions with label != -1."""
     logits = outputs[logits_key]
     label = outputs[label_key]
-    valid = label != -1
+    vf, _ = _sample_valid(outputs, label.shape[0])
+    valid = (label != -1) & (vf[:, None] > 0)
     pred = jnp.argmax(logits, axis=-1)
     correct = (pred == label) & valid
     return (jnp.sum(correct.astype(jnp.float32)),
@@ -140,7 +144,9 @@ def mvrc_accuracy(outputs):
     soft label distribution is valid (sums to ~1)."""
     logits = outputs["mvrc_logits"]
     label = outputs["mvrc_label"]
-    valid = jnp.abs(jnp.sum(label, axis=-1) - 1.0) < 0.1
+    vf, _ = _sample_valid(outputs, label.shape[0])
+    valid = (jnp.abs(jnp.sum(label, axis=-1) - 1.0) < 0.1) \
+        & (vf[:, None] > 0)
     pred = jnp.argmax(logits, axis=-1)
     tgt = jnp.argmax(label, axis=-1)
     correct = (pred == tgt) & valid
