@@ -827,3 +827,23 @@ def test_native_pretrain_checkpoint_to_task_partial_pretrain(tmp_path):
     np.testing.assert_array_equal(
         tflat["vlbert.word_embeddings.embedding"],
         pflat["vlbert.bert.word_embeddings.embedding"])
+
+
+def test_bench_slope_uses_disjoint_input_ranges():
+    """bench._slope_time must hand each run a DISJOINT input base —
+    re-running base 0 re-issues byte-identical executions that the device
+    tunnel can dedupe, silently inflating the published throughput."""
+    import bench
+
+    calls = []
+
+    def run_k(k, base):
+        calls.append((k, base))
+        return 0.01 * k     # linear: slope == 0.01 per call
+
+    dt = bench._slope_time(run_k, k1=6, k2=18)
+    np.testing.assert_allclose(dt, 0.01, rtol=1e-9)
+    ranges = [set(range(b, b + k)) for k, b in calls]
+    for i in range(len(ranges)):
+        for j in range(i + 1, len(ranges)):
+            assert not (ranges[i] & ranges[j]), (calls, "overlapping inputs")
