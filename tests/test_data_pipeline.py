@@ -1044,3 +1044,51 @@ def test_refcoco_zip_mode(tmp_path, tok):
     s = ds[0]
     assert s["image"].shape == (60, 80, 3)
     assert s["boxes"].shape[0] >= 1
+
+def test_cc_zero_image_fallback_normalizes_to_zero(tmp_path, tok):
+    """The zero-image fallback (rotten CC downloads) must look like the
+    reference's: ~0.0 AFTER normalization (ref conceptual_captions.py
+    creates the zeros buffer post-transform). Filling with the rounded
+    pixel means achieves that on both the host-Normalize and the on-device
+    uint8 paths."""
+    from vlbert_tpu.data.datasets.conceptual_captions import (
+        ConceptualCaptionsDataset)
+    from vlbert_tpu.data.transforms import (Compose, FixPadding, Normalize,
+                                            Resize)
+
+    data_dir = _write_cc_fixture(tmp_path, tok)
+    mean = (102.9801, 115.9465, 122.7717)      # BGR caffe means
+    fill_rgb = tuple(int(round(m)) for m in mean[::-1])
+
+    # host-normalize path
+    t = Compose([Resize(32, 48), Normalize(mean, (1.0, 1.0, 1.0)),
+                 FixPadding(32, 48)])
+    ds = ConceptualCaptionsDataset(
+        "train_frcnn.json", "train", str(tmp_path), data_dir,
+        tokenizer=tok, seq_len=24, with_precomputed_visual_feat=False,
+        add_image_as_a_box=True, transform=t, fallback_fill_rgb=fill_rgb)
+    s = ds[0]                                  # img/0.jpg missing -> fallback
+    w, h = int(s["im_info"][0]), int(s["im_info"][1])
+    assert np.abs(s["image"][:h, :w]).max() <= 0.5 + 1e-6
+
+    # device-normalize path: uint8 stays on the wire; the jitted normalize
+    # subtracts the same means
+    import jax.numpy as jnp
+
+    from vlbert_tpu.ops.image_norm import normalize_uint8_image
+
+    t2 = Compose([Resize(32, 48), FixPadding(32, 48)])
+    # with_mvrc_task off: MVRC raw-pixel zeroing needs NORMALIZED space, so
+    # build.py forces host normalization whenever MASK_RAW_PIXELS is active
+    # (build.py:87-89) — the uint8 wire path never sees that combination
+    ds2 = ConceptualCaptionsDataset(
+        "train_frcnn.json", "train", str(tmp_path), data_dir,
+        tokenizer=tok, seq_len=24, with_precomputed_visual_feat=False,
+        with_mvrc_task=False, add_image_as_a_box=True, transform=t2,
+        fallback_fill_rgb=fill_rgb)
+    s2 = ds2[0]
+    assert s2["image"].dtype == np.uint8
+    out = normalize_uint8_image(
+        jnp.asarray(s2["image"])[None], jnp.asarray(s2["im_info"])[None],
+        mean, (1.0, 1.0, 1.0))
+    assert float(jnp.abs(out).max()) <= 0.5 + 1e-6

@@ -101,7 +101,13 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
     max_boxes = cfg.TPU.MAX_BOXES
 
     if name in ("conceptual_captions", "coco_captions"):
+        # zero-image fallback fill = rounded PIXEL_MEANS back in RGB order,
+        # so the normalized fallback is ~0.0 (reference zeroes AFTER
+        # normalization, ref conceptual_captions.py:122-128)
+        means_bgr = cfg.NETWORK.PIXEL_MEANS or (102.9801, 115.9465, 122.7717)
+        fill_rgb = tuple(int(round(float(m))) for m in means_bgr[::-1])
         ds = ds_cls(
+            fallback_fill_rgb=fill_rgb,
             with_precomputed_visual_feat=cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED,
             mask_raw_pixels=cfg.NETWORK.MASK_RAW_PIXELS,
             with_rel_task=cfg.NETWORK.WITH_REL_LOSS,
@@ -175,7 +181,10 @@ def make_dataloader(cfg, task, mode="train", tokenizer=None, dataset_cfg=None,
                       # don't scale on this path — see data/loader.py
                       num_workers=n_workers if use_procs else 0,
                       aspect_grouping=(mode == "train"
-                                       and cfg.TRAIN.ASPECT_GROUPING))
+                                       and cfg.TRAIN.ASPECT_GROUPING),
+                      # decorrelates multitask sub-loaders' RNG streams
+                      # (they share cfg.RNG_SEED and epoch)
+                      loader_id=dataset_index)
 
 
 def make_multitask_dataloader(cfg, task, mode="train", tokenizer=None):

@@ -38,7 +38,8 @@ class ConceptualCaptionsDataset:
                  tokenizer, transform=None, seq_len=64,
                  with_precomputed_visual_feat=False, mask_raw_pixels=True,
                  with_rel_task=True, with_mlm_task=True, with_mvrc_task=True,
-                 zip_mode=False, add_image_as_a_box=False, seed=0, **kwargs):
+                 zip_mode=False, add_image_as_a_box=False, seed=0,
+                 fallback_fill_rgb=(123, 116, 103), **kwargs):
         annot = {"train": "train_frcnn.json", "val": "val_frcnn.json"}
         self.data_path = data_path
         self.ann_file = os.path.join(data_path, annot.get(image_set, image_set))
@@ -52,6 +53,12 @@ class ConceptualCaptionsDataset:
         self.add_image_as_a_box = add_image_as_a_box
         self.transform = transform
         self.tokenizer = tokenizer
+        # rounded PIXEL_MEANS in RGB order: the zero-image fallback is
+        # filled with these so that BGR-mean normalization (host or
+        # on-device) yields ~0.0, matching the reference, which creates
+        # the zeros buffer AFTER normalization (ref
+        # conceptual_captions.py:122-128,141-145: new_zeros post-transform)
+        self.fallback_fill_rgb = tuple(int(v) for v in fallback_fill_rgb)
         self.rng = np.random.default_rng(seed)
 
         self.database = self.load_annotations()
@@ -116,8 +123,12 @@ class ConceptualCaptionsDataset:
                 # the transform so it is resized/normalized/FixPadded like
                 # every other sample — a post-transform zeros buffer keeps
                 # the ORIGINAL size/dtype and crashes np.stack at collate.
+                # Filled with the rounded pixel means (RGB) so the
+                # normalized valid region is ~0.0, as in the reference
+                # (whose zeros buffer is created post-normalization).
                 w0, h0 = extra["image_w"], extra["image_h"]
-                image = np.zeros((int(h0), int(w0), 3), np.uint8)
+                image = np.full((int(h0), int(w0), 3),
+                                self.fallback_fill_rgb, np.uint8)
 
         if self.add_image_as_a_box:                            # ref :130-135
             boxes = np.concatenate(

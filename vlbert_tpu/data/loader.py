@@ -42,19 +42,24 @@ def _reseed(obj, seed):
         t.rng = np.random.default_rng(child)
 
 
-def _worker_init(ds, collate, base_seed):
-    global _WORKER_DS, _WORKER_COLLATE, _WORKER_SEED
+def _worker_init(ds, collate, base_seed, loader_id=0):
+    global _WORKER_DS, _WORKER_COLLATE, _WORKER_SEED, _WORKER_LOADER_ID
     _WORKER_DS = ds
     _WORKER_COLLATE = collate
     _WORKER_SEED = base_seed
+    _WORKER_LOADER_ID = loader_id
 
 
-def _batch_seed(base_seed, epoch, batch_idx):
-    """SeedSequence-mixed (seed, epoch, first-index) — collision-resistant
-    for any dataset size (a linear epoch*K + index scheme collides once the
-    dataset exceeds K samples)."""
+def _batch_seed(base_seed, epoch, batch_idx, loader_id=0):
+    """SeedSequence-mixed (seed, loader-id, epoch, first-index) —
+    collision-resistant for any dataset size (a linear epoch*K + index
+    scheme collides once the dataset exceeds K samples). loader_id
+    decorrelates multitask sub-loaders that share cfg.RNG_SEED and epoch:
+    without it, two sub-datasets whose batches start at the same index
+    would replay identical masking/augmentation RNG streams."""
     first = int(batch_idx[0]) if len(batch_idx) else 0
-    return np.random.SeedSequence((int(base_seed), int(epoch), first))
+    return np.random.SeedSequence(
+        (int(base_seed), int(loader_id), int(epoch), first))
 
 
 def _worker_batch(batch_idx, epoch=0):
@@ -70,7 +75,8 @@ def _worker_batch(batch_idx, epoch=0):
     # same RNG_SEED replays identical augmentations no matter which worker
     # the pool scheduler hands each batch to (PID-derived seeds made runs
     # irreproducible despite the seed plumbing)
-    _reseed(_WORKER_DS, _batch_seed(_WORKER_SEED, epoch, batch_idx))
+    _reseed(_WORKER_DS, _batch_seed(_WORKER_SEED, epoch, batch_idx,
+                                    _WORKER_LOADER_ID))
     samples = [_WORKER_DS[int(i)] for i in batch_idx]
     return _WORKER_COLLATE(samples)
 
@@ -133,7 +139,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size, collate_fn, shuffle=True,
                  num_replicas=1, rank=0, seed=0, drop_last=True,
                  prefetch=2, num_threads=4, num_workers=0,
-                 aspect_grouping=False):
+                 aspect_grouping=False, loader_id=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -144,6 +150,7 @@ class DataLoader:
         self.num_threads = num_threads
         self.num_workers = num_workers
         self.seed = seed
+        self.loader_id = loader_id
         self._pool = None
         # TRAIN.ASPECT_GROUPING (ref build.py + grouped_batch_sampler.py):
         # batch within aspect groups; needs dataset-provided group ids (the
@@ -193,7 +200,8 @@ class DataLoader:
             self._pool = ProcessPoolExecutor(
                 self.num_workers, mp_context=mp.get_context(method),
                 initializer=_worker_init,
-                initargs=(self.dataset, self.collate_fn, self.seed))
+                initargs=(self.dataset, self.collate_fn, self.seed,
+                          self.loader_id))
         return self._pool
 
     def shutdown(self):
@@ -286,7 +294,8 @@ class DataLoader:
                         # scheduler-dependent; build.py uses threads only
                         # as the single-thread fallback
                         _reseed(self.dataset,
-                                _batch_seed(self.seed, epoch, batch_idx))
+                                _batch_seed(self.seed, epoch, batch_idx,
+                                            self.loader_id))
                         samples = list(pool.map(
                             self.dataset.__getitem__, batch_idx))
                         if not put((self.collate_fn(samples), valid)):

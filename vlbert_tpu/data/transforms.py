@@ -87,7 +87,11 @@ def _resize_bilinear(img, oh, ow):
         out = TF.interpolate(t, size=(oh, ow), mode="bilinear",
                              align_corners=False)
         out = out[0].permute(1, 2, 0).numpy()
-        return out.astype(np.uint8) if img.dtype == np.uint8 else out
+        if img.dtype == np.uint8:
+            # round, don't truncate: astype would drift up to 1 LSB vs the
+            # PIL path (PIL rounds its bilinear output)
+            return np.rint(out).clip(0, 255).astype(np.uint8)
+        return out
 
 
 class RandomHorizontalFlip:

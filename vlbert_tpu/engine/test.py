@@ -61,6 +61,10 @@ def _load_params(config, state_params, ckpt_path):
         try:
             return load_native()
         except Exception:
+            # log before falling back: a genuinely corrupt native file
+            # would otherwise surface as an unrelated torch.load error
+            logger.warning("native-format load of %s failed; retrying as a "
+                           "torch checkpoint", ckpt_path, exc_info=True)
             return load_torch()
     return load_torch()
 
