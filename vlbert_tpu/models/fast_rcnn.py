@@ -45,6 +45,12 @@ class FastRCNN(nn.Module):
     image_semantic: bool = False  # 81-way class embedding (ref :31-34,68-71)
     roi_chunk: Optional[int] = None  # chunk ROIAlign intermediates
     roi_align_impl: str = "xla"      # 'xla' (einsum) | 'pallas' (kernel)
+    # 1 = one bilinear sample per bin, the reference's effective value (its
+    # FastRCNN builds ROIAlign without sampling_ratio, common/fast_rcnn.py:66,
+    # whose ctor default is 1, common/lib/roi_pooling/roi_align.py:55);
+    # 0 = adaptive ceil(roi/bin) grid. Parity with converted checkpoints
+    # requires 1; adaptive was used through round 2 and diverges numerically.
+    roi_sampling_ratio: int = 1
     # BGR caffe pixel stats for the on-device uint8 normalization path
     # (host ships uint8; see ops/image_norm.py)
     pixel_means: Sequence[float] = (102.9801, 115.9465, 122.7717)
@@ -90,7 +96,8 @@ class FastRCNN(nn.Module):
             body4 = backbone(images)
             rois = roi_align(
                 body4, boxes, box_mask, pooled_h=14, pooled_w=14,
-                spatial_scale=1.0 / 16, sampling_ratio=0,
+                spatial_scale=1.0 / 16,
+                sampling_ratio=self.roi_sampling_ratio,
                 chunk=self.roi_chunk,
                 impl=self.roi_align_impl)            # fp32, ref roi_align.py:69
             rois = rois.astype(self.dtype)

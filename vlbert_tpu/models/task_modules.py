@@ -136,6 +136,8 @@ def _fast_rcnn_from_cfg(cfg, vl_cfg, enable_cnn_reg_loss=False, name="image_feat
         roi_align_impl=(tpu.get("ROI_ALIGN_IMPL", "xla") if tpu else "xla"),
         # bound the [B,O,P,W,C] ROIAlign intermediate on memory-tight runs
         roi_chunk=(tpu.get("ROI_CHUNK", None) if tpu else None),
+        # 1 = reference parity (its ROIAlign ctor default); 0 = adaptive grid
+        roi_sampling_ratio=(tpu.get("ROI_SAMPLING_RATIO", 1) if tpu else 1),
         pixel_means=tuple(n.PIXEL_MEANS or (102.9801, 115.9465, 122.7717)),
         pixel_stds=tuple(n.PIXEL_STDS or (1.0, 1.0, 1.0)),
         dtype=vl_cfg.dtype,
