@@ -1,13 +1,22 @@
 """Benchmark: flagship throughput on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}
+on EVERY path — each section is individually guarded, catches
+RESOURCE_EXHAUSTED, and degrades (fewer staged inputs, then smaller batch)
+before giving up; a failed section becomes an {"error": ...} entry in
+"details" instead of a nonzero exit.
 
 Headline value = forward images/sec/chip through the full ROIAlign +
 VL-BERT path (ResNet-101 backbone, 14x14 ROIAlign, conv5 head, 12-layer
 VL-BERT-base over [text|boxes|END]), bf16 compute, 608px, 36 boxes, 4x48
-text. "details" carries the train-step number and MFU for both.
+text. "details" carries train-step numbers (default B=4, shipped-config
+accum4, B=16, and VL-BERT-large) and MFU for all of them.
 
 Methodology:
+  * inputs are staged as uint8 RGB — the framework's own wire format
+    (ops/image_norm.py normalizes on device, fused into the first conv) —
+    cutting staged-input HBM 4x vs float32 (BENCH_r02 died pre-staging
+    ~2 GB of fp32 inputs);
   * throughput: varied pre-staged inputs (the device tunnel dedupes
     identical executions), chained runs of K1 and K2 dispatches each ending
     in a scalar VALUE fetch; per-call time = (t(K2)-t(K1))/(K2-K1). The
@@ -16,16 +25,18 @@ Methodology:
     observed returning early on this device plugin, yielding impossible
     MFU > 1 readings);
   * MFU: XLA's own cost analysis (compiled.cost_analysis()["flops"]) over
-    the measured wall time, against the chip's published bf16 peak. This
-    replaces the earlier hand-estimated A100 anchor (the reference repo
-    publishes no throughput; Speedometer logs live only). vs_baseline is
-    still reported against that 120 img/s measured-class A100 estimate for
-    continuity with BENCH_r01 and is labeled as an estimate in "details".
+    the measured wall time, against the chip's published bf16 peak.
     Any MFU > 1 reading is self-evidently a timing artifact and rejected.
 
-Modes: default = fwd + train-step (B=4). --accum adds the shipped-config
-train step (per-device batch 4 x grad-accum 4, cfgs/vcr/base_q2a_4x16G).
---large adds a VL-BERT-large (24-layer, 1024-hidden) train step.
+vs_baseline (redefined in round 3, arithmetic in BASELINE.md): the
+fraction of an IDEAL A100's throughput (312 TFLOP/s bf16 peak, MFU = 1.0)
+on the IDENTICAL FLOP graph achieved by one v5e chip. Fully derived from
+measured flops — no estimated reference throughput. Interpretation:
+vs_baseline = 0.36 means an A100 implementation needs >= 36% MFU to match
+one v5e chip, i.e. BASELINE.md's ">= 2x A100" acceptance holds against any
+reference implementation running below vs_baseline/2 MFU on an A100.
+The round-1/2 anchor (an unmeasured "120 img/s A100 estimate") is kept in
+details["legacy_vs_estimated_a100"] for continuity only.
 """
 
 import json
@@ -35,10 +46,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# continuity anchor from round 1 (measured-class ESTIMATE, see module doc)
-A100_REFERENCE_IMG_PER_S = 120.0
 # TPU v5e (v5 lite) published peak: 197 TFLOP/s bf16
 V5E_PEAK_BF16 = 197e12
+# NVIDIA A100 published peak: 312 TFLOP/s bf16 (dense) — used ONLY to
+# compute the speed-of-light anchor from measured flops; see module doc
+A100_PEAK_BF16 = 312e12
+# round-1/2 continuity anchor (unmeasured estimate; legacy field only)
+LEGACY_A100_EST_IMG_PER_S = 120.0
 
 
 def _enable_compile_cache():
@@ -54,6 +68,46 @@ def jnp_zero():
     import jax.numpy as jnp
 
     return jnp.zeros((), jnp.float32)
+
+
+def _is_oom(e) -> bool:
+    return "RESOURCE_EXHAUSTED" in repr(e)
+
+
+def _free(*trees):
+    """Best-effort immediate release of device buffers."""
+    import jax
+
+    for t in trees:
+        for leaf in jax.tree_util.tree_leaves(t):
+            try:
+                leaf.delete()
+            except Exception:
+                pass
+
+
+def _with_degrade(fn, attempts, name):
+    """Run fn(**kw) down a degradation ladder on RESOURCE_EXHAUSTED.
+
+    attempts: list of kwargs dicts, most capable first. Returns the first
+    successful result (annotated with "degraded" if not attempt 0), or an
+    {"error": ...} dict if every rung OOMs. Non-OOM errors also degrade to
+    an error dict — the bench must always emit its JSON line.
+    """
+    last = None
+    for i, kw in enumerate(attempts):
+        try:
+            r = fn(**kw)
+            if i > 0:
+                r["degraded"] = {"attempt": i, **kw}
+            return r
+        except Exception as e:  # noqa: BLE001 — bench must never crash
+            last = repr(e)[:500]
+            if not _is_oom(e):
+                return {"error": f"{name}: {last}"}
+            print(f"bench: {name} OOM at {kw}, degrading", file=sys.stderr)
+    return {"error": f"{name}: RESOURCE_EXHAUSTED at all degradation "
+                     f"levels; last: {last}"}
 
 
 def _flops_of(jitted, *args):
@@ -84,14 +138,25 @@ def _slope_time(run_k, k1=6, k2=18):
     return (t2 - t1) / (k2 - k1)
 
 
-def fwd_bench(B=16, IMG=608, O=36, C=4, T=48):
+def _staged_images(base_np, n):
+    """n distinct uint8 image batches on device (~1 MB/img at 608px vs 4 MB
+    fp32 — the staging that OOM'd BENCH_r02)."""
+    import jax
+    import numpy as np
+
+    base16 = base_np.astype(np.int16)
+    return [jax.device_put(((base16 + i) % 256).astype(np.uint8))
+            for i in range(n)]
+
+
+def fwd_bench(B=16, IMG=608, O=36, C=4, T=48, k1=6, k2=18):
     import jax
     import numpy as np
 
     from __graft_entry__ import _flagship, _vcr_batch
 
     cfg, model = _flagship(tiny=False)
-    batch = _vcr_batch(B=B, img=IMG, O=O, C=C, T=T)
+    batch = _vcr_batch(B=B, img=IMG, O=O, C=C, T=T, img_dtype="uint8")
     init_rngs = {"params": jax.random.PRNGKey(0),
                  "dropout": jax.random.PRNGKey(1)}
     params = jax.jit(lambda r: model.init(r, *batch, train=True))(init_rngs)
@@ -101,10 +166,7 @@ def fwd_bench(B=16, IMG=608, O=36, C=4, T=48):
     jax.block_until_ready(fwd(params, *args)["label_logits"])  # compile
     flops = _flops_of(fwd, params, *args)
 
-    n_iter = 28                      # warm 0..1, t1 2..7, t2 8..25
-    images = [jax.device_put(np.asarray(args[0]) + 0.01 * i)
-              for i in range(n_iter)]
-    jax.block_until_ready(images[-1])
+    images = _staged_images(np.asarray(args[0]), 2 + k1 + k2)
 
     acc = jax.jit(lambda c, o: c + o.sum())
 
@@ -119,7 +181,10 @@ def fwd_bench(B=16, IMG=608, O=36, C=4, T=48):
         float(carry)                 # value fetch = completion barrier
         return time.time() - t0
 
-    dt = _slope_time(run_k)
+    try:
+        dt = _slope_time(run_k, k1=k1, k2=k2)
+    finally:
+        _free(images, params, args)
     if flops and flops / dt / V5E_PEAK_BF16 > 1.0:
         raise RuntimeError(
             f"impossible MFU {flops / dt / V5E_PEAK_BF16:.2f} > 1 — timing "
@@ -130,10 +195,12 @@ def fwd_bench(B=16, IMG=608, O=36, C=4, T=48):
         "batch": B,
         "mfu": round(flops / dt / V5E_PEAK_BF16, 4) if flops else None,
         "tflops_per_batch": round(flops / 1e12, 2) if flops else None,
+        "flops_per_img": flops / B if flops else None,
     }
 
 
-def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48):
+def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
+                k1=6, k2=18):
     """Full e2e train-step throughput (fwd + bwd + AdamW [+ scan accum])."""
     import jax
     import numpy as np
@@ -157,7 +224,8 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48):
         model = build_module(cfg, "vcr", dtype=jnp.bfloat16)
     cfg.TRAIN.OPTIMIZER = "AdamW"
     cfg.TRAIN.GRAD_ACCUMULATE_STEPS = accum
-    batch = _vcr_batch(B=B * accum, img=IMG, O=O, C=C, T=T)
+    batch = _vcr_batch(B=B * accum, img=IMG, O=O, C=C, T=T,
+                       img_dtype="uint8")
     if accum > 1:
         batch = jax.tree_util.tree_map(
             lambda x: np.asarray(x).reshape(accum, B, *x.shape[1:]), batch)
@@ -170,36 +238,43 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48):
     rep = replicated(mesh)
     jit_step = jax.jit(step, donate_argnums=(0,),
                        out_shardings=(rep, rep, rep))
-    with mesh:
-        state = jax.device_put(state, rep)
-        sb = shard_batch(batch, mesh, batch_dim=0 if accum == 1 else 1)
-        imgs = [jax.device_put(sb[0] + 0.01 * i) for i in range(28)]
-        jax.block_until_ready(imgs)
-        rng = jax.random.PRNGKey(0)
-        s, l, _ = jit_step(state, (imgs[0],) + sb[1:], rng)
-        float(l)
-        flops = None
+    n_stage = 3 + 2 + k1 + k2        # 3 warm/stabilize + slope inputs
+    try:
+        with mesh:
+            state = jax.device_put(state, rep)
+            sb = shard_batch(batch, mesh, batch_dim=0 if accum == 1 else 1)
+            imgs = _staged_images(np.asarray(sb[0]), n_stage)
+            rng = jax.random.PRNGKey(0)
+            s, l, _ = jit_step(state, (imgs[0],) + sb[1:], rng)
+            float(l)
+            flops = None
+            try:
+                flops = _flops_of(jax.jit(step), s, (imgs[0],) + sb[1:], rng)
+            except Exception:
+                pass
+            for i in range(1, 3):   # stabilize donated-state signature
+                s, l, _ = jit_step(s, (imgs[i],) + sb[1:],
+                                   jax.random.PRNGKey(i))
+            float(l)
+            lvs = []
+
+            def run_k(k, base, _n=[3]):
+                nonlocal s
+                t0 = time.time()
+                for j in range(k):
+                    _n[0] += 1
+                    s, l, _ = jit_step(s, (imgs[3 + base + j],) + sb[1:],
+                                       jax.random.PRNGKey(_n[0]))
+                lvs.append(float(l))     # value fetch = completion barrier;
+                return time.time() - t0  # steps chain via the donated state
+
+            dt = _slope_time(run_k, k1=k1, k2=k2)
+            assert len(set(lvs)) == len(lvs), f"dedupe artifact: {lvs}"
+    finally:
         try:
-            flops = _flops_of(jax.jit(step), s, (imgs[0],) + sb[1:], rng)
-        except Exception:
+            _free(imgs, s, sb, state)
+        except NameError:
             pass
-        for i in range(1, 3):   # stabilize donated-state signature
-            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
-        float(l)
-        lvs = []
-
-        def run_k(k, base, _n=[3]):
-            nonlocal s
-            t0 = time.time()
-            for j in range(k):
-                _n[0] += 1
-                s, l, _ = jit_step(s, (imgs[base + j],) + sb[1:],
-                                   jax.random.PRNGKey(_n[0]))
-            lvs.append(float(l))     # value fetch = completion barrier;
-            return time.time() - t0  # steps chain via the donated state
-
-        dt = _slope_time(run_k, k1=6, k2=18)
-        assert len(set(lvs)) == len(lvs), f"dedupe artifact: {lvs}"
     if flops and flops * accum / dt / V5E_PEAK_BF16 > 1.0:
         raise RuntimeError(
             f"impossible MFU {flops * accum / dt / V5E_PEAK_BF16:.2f} > 1 — "
@@ -219,45 +294,92 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48):
     }
 
 
-def main():
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
     _enable_compile_cache()
     details = {"methodology": (
-        "slope timing: chained runs of K1/K2 varied-input dispatches, each "
-        "ending in a dataflow-forced scalar VALUE fetch; per-call = "
-        "(t2-t1)/(K2-K1), cancelling tunnel RTT (block_until_ready can "
-        "return early on this plugin -> impossible MFU>1 readings, "
-        "rejected); MFU = XLA cost_analysis flops / wall / 197e12 (v5e "
-        "bf16 peak); vs_baseline anchor 120 img/s is a measured-class "
-        "A100 ESTIMATE kept for continuity with BENCH_r01")}
-    fwd = fwd_bench()
+        "uint8-staged inputs (the framework's wire format; on-device fused "
+        "normalize) — 4x less staging HBM than the fp32 staging that OOM'd "
+        "BENCH_r02; slope timing: chained runs of K1/K2 varied-input "
+        "dispatches, each ending in a dataflow-forced scalar VALUE fetch; "
+        "per-call = (t2-t1)/(K2-K1), cancelling tunnel RTT "
+        "(block_until_ready can return early on this plugin -> impossible "
+        "MFU>1 readings, rejected); MFU = XLA cost_analysis flops / wall / "
+        "197e12 (v5e bf16 peak); every section catches RESOURCE_EXHAUSTED "
+        "and degrades (fewer staged inputs, smaller B) before erroring; "
+        "vs_baseline = fraction of an IDEAL (MFU=1.0) A100's 312-TFLOP/s "
+        "throughput on the identical measured FLOP graph — fully derived, "
+        "no estimated anchor (see BASELINE.md)")}
+
+    fwd = _with_degrade(fwd_bench, [
+        dict(B=16, k1=6, k2=18),
+        dict(B=16, k1=4, k2=10),
+        dict(B=8, k1=4, k2=10),
+        dict(B=4, k1=3, k2=7),
+    ], "fwd")
     details["fwd"] = fwd
-    details["train_step"] = train_bench(B=4, accum=1)
-    if "--accum" in sys.argv:
-        # shipped VCR base config: per-device batch 4, grad-accum 4
-        details["train_step_accum4"] = train_bench(B=4, accum=4)
-    if "--large" in sys.argv:
-        # B=4 fits on one v5e chip without remat and is ~14% faster per
-        # image than B=2 (49.5 vs 43 img/s measured); remat measured
-        # strictly slower at this size (42 img/s) — memory isn't tight
-        details["train_step_large"] = train_bench(B=4, accum=1, large=True)
-    if "--scaling" in sys.argv:
-        # per-chip batch scaling (MFU rises with B: conv bwd amortizes)
-        details["train_step_b8"] = train_bench(B=8, accum=1)
-        details["train_step_b16"] = train_bench(B=16, accum=1)
+
+    quick = "--quick" in argv       # fwd + default train step only
+    sections = [("train_step", [dict(B=4, accum=1),
+                                dict(B=4, accum=1, k1=3, k2=9),
+                                dict(B=2, accum=1, k1=3, k2=7)])]
+    if not quick:
+        sections += [
+            # shipped VCR base config: per-device batch 4, grad-accum 4
+            ("train_step_accum4", [dict(B=4, accum=4, k1=3, k2=9),
+                                   dict(B=4, accum=4, k1=2, k2=6),
+                                   dict(B=2, accum=4, k1=2, k2=6)]),
+            # per-chip batch scaling (MFU rises with B: conv bwd amortizes)
+            ("train_step_b16", [dict(B=16, accum=1, k1=4, k2=12),
+                                dict(B=16, accum=1, k1=2, k2=6),
+                                dict(B=8, accum=1, k1=3, k2=9)]),
+            # B=4 fits on one v5e chip without remat and is ~14% faster per
+            # image than B=2 (49.5 vs 43 img/s measured); remat measured
+            # strictly slower at this size (42 img/s) — memory isn't tight
+            ("train_step_large", [dict(B=4, accum=1, large=True, k1=3, k2=9),
+                                  dict(B=2, accum=1, large=True, k1=3, k2=7)]),
+        ]
+    for name, ladder in sections:
+        details[name] = _with_degrade(train_bench, ladder, name)
+
+    value = fwd.get("img_per_s")
+    unit = "img/s"
+    if value is None:               # forward failed entirely: fall back to
+        ts = details.get("train_step", {})  # the train number, then to 0
+        value = ts.get("img_per_s", 0.0)
+        unit = "img/s (train-step fallback; fwd failed)" if value else "img/s"
+
+    vs_sol = None
+    if fwd.get("flops_per_img") and fwd.get("img_per_s"):
+        a100_sol = A100_PEAK_BF16 / fwd["flops_per_img"]
+        vs_sol = round(fwd["img_per_s"] / a100_sol, 4)
+        details["a100_speed_of_light_img_per_s"] = round(a100_sol, 1)
+        details["vs_baseline_meaning"] = (
+            "fraction of a perfect (MFU=1.0) A100 on the same FLOP graph "
+            "achieved by ONE v5e chip; an A100 implementation must exceed "
+            f"{vs_sol:.2f} MFU to match this chip (x2 that for BASELINE.md's "
+            ">=2x acceptance); eager-mode torch conv+transformer training "
+            "does not reach such MFU, but it is unmeasured here, so no "
+            "numeric multiplier is claimed")
+    if fwd.get("img_per_s"):
+        details["legacy_vs_estimated_a100"] = round(
+            fwd["img_per_s"] / LEGACY_A100_EST_IMG_PER_S, 3)
+
     print(json.dumps({
         "metric": ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
-                   "36 boxes, 4x48 text, B=16)"),
-        "value": fwd["img_per_s"],
-        "unit": "img/s",
-        "vs_baseline": round(fwd["img_per_s"] / A100_REFERENCE_IMG_PER_S, 3),
+                   "36 boxes, 4x48 text, B=16; train/accum4/b16/large in "
+                   "details)"),
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_sol if vs_sol is not None else 0.0,
         "details": details,
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    if "--train" in sys.argv and "--accum" not in sys.argv \
-            and "--large" not in sys.argv:
+    if "--train" in sys.argv:
         _enable_compile_cache()
         print(json.dumps(train_bench(B=4, accum=1)))
     else:
-        main()
+        sys.exit(main())
