@@ -363,3 +363,71 @@ def test_test_net_vqa_leaderboard(tmp_path, monkeypatch):
     assert os.path.exists(out)
     assert len(answers) == 4   # test split = val.jsonl fixture (4 rows)
     assert all("question_id" in a and a["answer"] in vocab for a in answers)
+
+
+def test_train_net_observability(tmp_path, monkeypatch):
+    """Observability parity (ref common/trainer.py:134-176 +
+    common/utils/misc.py:40-67): the driver logs a startup parameter table
+    and writes grad-norm + per-group-LR TensorBoard scalars at every
+    LOG_FREQUENT step."""
+    import logging
+
+    import vlbert_tpu.data.build as build_mod
+
+    data_dir, vocab_dir = _write_vqa_fixture(tmp_path)
+    cfg = _tiny_vqa_cfg(tmp_path, data_dir, vocab_dir)
+    cfg.TRAIN.END_EPOCH = 1
+    cfg.TRAIN.LR_MULT = [["classifier", 10.0]]   # a second LR group
+
+    orig = build_mod.make_vqa_collate
+
+    def patched(tokenizer, max_text, max_boxes, precomputed_dim=2048,
+                test_mode=False):
+        return orig(tokenizer, max_text, max_boxes, precomputed_dim=32,
+                    test_mode=test_mode)
+
+    monkeypatch.setattr(build_mod, "make_vqa_collate", patched)
+
+    # recorder in place of torch.utils.tensorboard.SummaryWriter
+    scalars = []
+
+    class Recorder:
+        def __init__(self, log_dir=None):
+            self.log_dir = log_dir
+
+        def add_scalar(self, tag, value, step):
+            scalars.append((tag, float(value), int(step)))
+
+        def close(self):
+            pass
+
+    import torch.utils.tensorboard as tb
+
+    monkeypatch.setattr(tb, "SummaryWriter", Recorder)
+
+    from vlbert_tpu.engine.train import train_net
+
+    args = types.SimpleNamespace(model_dir=str(tmp_path / "out"),
+                                 log_dir=str(tmp_path / "tb"))
+    train_net(args, cfg, "vqa")
+
+    tags = {t for t, _, _ in scalars}
+    assert "train/loss" in tags
+    assert "grad-para/Total-Norm" in tags          # ref trainer.py:146-148
+    assert {"LR/Group_0", "LR/Group_1",
+            "Initial-LR/Group_0", "Initial-LR/Group_1"} <= tags
+    norm = [v for t, v, _ in scalars if t == "grad-para/Total-Norm"]
+    assert all(np.isfinite(v) and v > 0 for v in norm)
+    lr0 = {v for t, v, _ in scalars if t == "Initial-LR/Group_0"}
+    lr1 = {v for t, v, _ in scalars if t == "Initial-LR/Group_1"}
+    assert len(lr0) == 1 and len(lr1) == 1
+    assert abs(next(iter(lr1)) - 10.0 * next(iter(lr0))) < 1e-12
+
+    # startup parameter table (ref misc.py:40-67) lands in the rank-0 log
+    # file (setup_logger's basicConfig(force=True) detaches caplog)
+    with open(os.path.join(cfg.OUTPUT_PATH, "vqa_train",
+                           "train_rank0.log")) as f:
+        text = f.read()
+    assert ">> Trainable Parameters:" in text
+    assert "# TotalParams:" in text
+    assert "word_embeddings" in text

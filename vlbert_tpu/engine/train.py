@@ -243,6 +243,16 @@ def train_net(args, config, task):
     state, tx, sched = create_train_state(model, sample_init, config,
                                           steps_per_epoch)
 
+    # startup parameter table (ref common/utils/misc.py:40-67, called from
+    # every train.py task entry), split by the optimizer's trainable mask
+    from vlbert_tpu.training.optim import make_lr_schedule, trainable_mask
+    from vlbert_tpu.utils.misc import summary_parameters
+
+    if rank == 0:
+        summary_parameters(state.params["params"],
+                           trainable_mask(state.params["params"], config))
+    base_lr = make_lr_schedule(config, steps_per_epoch)[1]
+
     model_prefix = os.path.join(output_path, config.MODEL_PREFIX or "vlbert_tpu")
     # Warm starts are skipped when a resumable checkpoint exists — the
     # resume restores every parameter anyway, and the torch loads cost
@@ -306,7 +316,8 @@ def train_net(args, config, task):
                 begin_epoch=begin_epoch, writer=writer,
                 profile_dir=getattr(args, "profile_dir", None),
                 best_val=extra.get("best_val"),
-                plateau_state=extra.get("plateau"))
+                plateau_state=extra.get("plateau"),
+                sched=sched, base_lr=base_lr)
     if writer is not None:
         writer.close()
     return state

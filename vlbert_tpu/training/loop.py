@@ -26,6 +26,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from vlbert_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
 from vlbert_tpu.training import metrics as metrics_lib
@@ -119,6 +120,14 @@ def make_train_step(model, tx, task, config, grad_accum=1):
         else:
             loss, grads, dm = one_micro(params, batch, rng)
 
+        # pre-clip gradient total norm, surfaced as a (sum, count) metric
+        # (ref common/trainer.py:139-148 logs clip_grad_norm_'s return as
+        # 'grad-para/Total-Norm'; optax's clip computes the same norm but
+        # doesn't expose it — one extra reduction is noise next to the bwd)
+        dm = {**dm, "grad_total_norm": (
+            optax.global_norm(grads["params"]).astype(jnp.float32),
+            jnp.ones((), jnp.float32))}
+
         updates, new_opt = tx.update(grads["params"], state.opt_state,
                                      params["params"])
         new_params = jax.tree_util.tree_map(
@@ -188,7 +197,7 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
         val_loader=None, mesh=None, state=None, tx=None,
         checkpoint_fn=None, validation_fn=None, rng=None,
         begin_epoch=None, end_epoch=None, writer=None, profile_dir=None,
-        best_val=None, plateau_state=None):
+        best_val=None, plateau_state=None, sched=None, base_lr=None):
     """Host training loop (ref common/trainer.py:56-195).
 
     train_loader: iterable of batches (tuples of np arrays, already shaped
@@ -243,6 +252,12 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
     # regresses across restarts (ref vcr/function/train.py:267-270)
     best_val = float("-inf") if best_val is None else float(best_val)
     host_metric = metrics_lib.host_metric_name(task, config)
+    # LR param groups for the TB scalars: group 0 = default (mult 1.0),
+    # then one group per LR_MULT / visual-scale rule (ref trainer.py:160-167)
+    from vlbert_tpu.training.optim import get_plateau_scale, lr_group_rules
+
+    lr_groups = [("default", 1.0)] + [(str(k), float(m))
+                                      for k, m in lr_group_rules(config)]
 
     # plateau schedule (ref common/trainer.py:95-98 + train.py:281-292):
     # host steps the detector from the named val metric, rewriting the
@@ -303,7 +318,30 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                     if writer is not None:
                         writer.add_scalar("train/loss", lv, global_step)
                         for k, v in acc.get().items():
-                            writer.add_scalar(f"train/{k}", v, global_step)
+                            # reference tag for the pre-clip gradient norm
+                            # (common/trainer.py:146-148)
+                            tag = ("grad-para/Total-Norm"
+                                   if k == "grad_total_norm"
+                                   else f"train/{k}")
+                            writer.add_scalar(tag, v, global_step)
+                        # per-group LRs (ref trainer.py:160-167 logs
+                        # LR/Group_{i} + Initial-LR/Group_{i} every batch;
+                        # here at the LOG_FREQUENT host barrier)
+                        if sched is not None:
+                            scale = 1.0
+                            if plateau is not None:
+                                scale = float(jax.device_get(
+                                    get_plateau_scale(state.opt_state)))
+                            lr_now = float(sched(global_step)) * scale
+                            for gi, (_, mult) in enumerate(lr_groups):
+                                writer.add_scalar(f"LR/Group_{gi}",
+                                                  lr_now * float(mult),
+                                                  global_step)
+                                if base_lr is not None:
+                                    writer.add_scalar(
+                                        f"Initial-LR/Group_{gi}",
+                                        float(base_lr) * float(mult),
+                                        global_step)
                 speedo(epoch, i, acc.format())
                 if profiling and global_step >= 20:
                     jax.profiler.stop_trace()

@@ -167,6 +167,23 @@ def trainable_mask(params, config):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def lr_group_rules(config):
+    """[(substring, mult), ...] — TRAIN.LR_MULT plus the visual-scale
+    special groups (ref vcr/function/config.py:127-128). First match wins;
+    anything unmatched is the implicit default group (mult 1.0).
+
+    Also the source for the per-group LR TensorBoard scalars
+    (ref common/trainer.py:160-167 logs LR/Group_{i} per param group)."""
+    t = config.TRAIN
+    lr_rules = list(t.LR_MULT)
+    for key, name in (("VISUAL_SCALE_TEXT_LR_MULT", "visual_scale_text"),
+                      ("VISUAL_SCALE_OBJECT_LR_MULT", "visual_scale_object")):
+        mult = t.get(key, 1.0)
+        if mult != 1.0:
+            lr_rules.insert(0, (name, mult))
+    return lr_rules
+
+
 # ---------------------------------------------------------------- optimizer
 
 def _scale_by_tree(mult_tree):
@@ -305,13 +322,7 @@ def make_optimizer(config, params, steps_per_epoch):
     """
     t = config.TRAIN
     sched, base_lr = make_lr_schedule(config, steps_per_epoch)
-    lr_rules = list(t.LR_MULT)
-    # visual-scale special param groups (ref vcr/function/config.py:127-128)
-    for key, name in (("VISUAL_SCALE_TEXT_LR_MULT", "visual_scale_text"),
-                      ("VISUAL_SCALE_OBJECT_LR_MULT", "visual_scale_object")):
-        mult = t.get(key, 1.0)
-        if mult != 1.0:
-            lr_rules.insert(0, (name, mult))
+    lr_rules = lr_group_rules(config)
     mults = lr_mult_tree(params, lr_rules)
     mask = trainable_mask(params, config)
 
