@@ -847,3 +847,121 @@ def test_bench_slope_uses_disjoint_input_ranges():
     for i in range(len(ranges)):
         for j in range(i + 1, len(ranges)):
             assert not (ranges[i] & ranges[j]), (calls, "overlapping inputs")
+
+def test_bench_degrade_ladder_on_oom():
+    """RESOURCE_EXHAUSTED walks the degradation ladder; other errors stop it;
+    full exhaustion yields an {"error": ...} dict (never an exception)."""
+    import bench
+
+    calls = []
+
+    def oom_once(**kw):
+        calls.append(kw)
+        if len(calls) == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return {"img_per_s": 42.0}
+
+    r = bench._with_degrade(oom_once, [dict(B=16), dict(B=8)], "fwd")
+    assert r["img_per_s"] == 42.0 and r["degraded"]["B"] == 8
+
+    def oom_always(**kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    r = bench._with_degrade(oom_always, [dict(B=16), dict(B=8)], "fwd")
+    assert "error" in r and "RESOURCE_EXHAUSTED" in r["error"]
+
+    def other_err(**kw):
+        raise ValueError("not an OOM")
+
+    r = bench._with_degrade(other_err, [dict(B=16), dict(B=8)], "x")
+    assert "error" in r and "not an OOM" in r["error"]
+
+
+def test_bench_main_always_emits_json(monkeypatch, capsys):
+    """BENCH_r02 was rc=1 with no JSON. main() must print a parseable line
+    and return 0 even if every section raises."""
+    import json as _json
+
+    import bench
+
+    def boom(**kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    monkeypatch.setattr(bench, "fwd_bench", boom)
+    monkeypatch.setattr(bench, "train_bench", boom)
+    monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
+    rc = bench.main([])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    d = _json.loads(out)
+    assert rc == 0
+    assert d["value"] == 0.0
+    for sec in ("fwd", "train_step", "train_step_accum4", "train_step_b16",
+                "train_step_large"):
+        assert "error" in d["details"][sec], sec
+
+
+def test_batch_seed_mixes_loader_id():
+    """Multitask sub-loaders share cfg.RNG_SEED and epoch; loader_id must
+    decorrelate their augmentation/masking RNG streams even when two
+    sub-datasets' batches start at the same index."""
+    from vlbert_tpu.data.loader import _batch_seed
+
+    s0 = _batch_seed(7, 3, [0, 1], loader_id=0).generate_state(4)
+    s1 = _batch_seed(7, 3, [0, 1], loader_id=1).generate_state(4)
+    assert not np.array_equal(s0, s1)
+    # determinism: same tuple -> same stream
+    np.testing.assert_array_equal(
+        s0, _batch_seed(7, 3, [0, 1], loader_id=0).generate_state(4))
+
+
+def test_model_parallel_train_step_matches_dp(rng):
+    """A full TRAIN step (grads + clip + AdamW through TP-sharded params AND
+    optimizer moments) on a 2-D (data=4, model=2) mesh matches the pure-DP
+    step's loss and updated params (VERDICT r2: TP rules were forward-only
+    tested). The same param_sharding_rules tree shards the TrainState —
+    adam mu/nu paths mirror the param paths, scalars fall out replicated."""
+    from vlbert_tpu.parallel.mesh import param_sharding_rules
+    from vlbert_tpu.training.checkpoint import flatten_params
+
+    assert jax.device_count() == 8
+    cfg, m, batch = _tiny_vqa_setup(rng)
+    # dropout off: bit-identical losses across mesh topologies
+    cfg.NETWORK.VLBERT.hidden_dropout_prob = 0.0
+    cfg.NETWORK.VLBERT.attention_probs_dropout_prob = 0.0
+    m = build_module(cfg, "vqa", dtype=jnp.float32)
+    state, tx, _ = create_train_state(m, batch, cfg, steps_per_epoch=10)
+    step = make_train_step(m, tx, "vqa", cfg, grad_accum=1)
+    key = jax.random.PRNGKey(0)
+
+    mesh_dp = make_mesh()
+    rep = replicated(mesh_dp)
+    jit_dp = jax.jit(step, out_shardings=(rep, rep, rep))
+    with mesh_dp:
+        s_dp, loss_dp, _ = jit_dp(state, shard_batch(batch, mesh_dp), key)
+        loss_dp = float(loss_dp)
+        p_dp = jax.device_get(s_dp.params["params"])
+
+    mesh_tp = make_mesh([4, 2], ("data", "model"))
+    rules = param_sharding_rules(mesh_tp, state)
+    n_model = sum(
+        1 for s in jax.tree_util.tree_leaves(rules)
+        if "model" in str(s.spec))
+    # params + mu + nu for the qkv/intermediate/output kernels
+    assert n_model >= 3 * 3, n_model
+    rep_tp = replicated(mesh_tp)
+    jit_tp = jax.jit(step, out_shardings=(rules, rep_tp, rep_tp))
+    with mesh_tp:
+        s_tp = jax.device_put(state, rules)
+        s_tp, loss_tp, dm = jit_tp(s_tp, shard_batch(batch, mesh_tp), key)
+        loss_tp = float(loss_tp)
+        p_tp = jax.device_get(s_tp.params["params"])
+
+    assert abs(loss_tp - loss_dp) <= 1e-5 * max(1.0, abs(loss_dp)), \
+        (loss_tp, loss_dp)
+    flat_dp = flatten_params(p_dp)
+    flat_tp = flatten_params(p_tp)
+    assert flat_dp.keys() == flat_tp.keys()
+    for k in flat_dp:
+        np.testing.assert_allclose(flat_tp[k], flat_dp[k],
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    assert "grad_total_norm" in dm
