@@ -162,6 +162,71 @@ def main():
             "collate_ms_per_b4": round(collate_ms, 2),
             "loader_img_per_s_by_workers": loader_rates,
         }
+
+    # ---- end-to-end feed-rate proof (VERDICT r2 next #5): the REAL loader
+    # pool + collate + shard_batch onto an 8-virtual-device CPU mesh,
+    # consumed at the device's measured step budget. Reports the sustained
+    # rate and the Speedometer Data-phase fraction — host keeps the chip
+    # fed iff data_fraction ~ 0 and sustained >= demand.
+    budget_ms = 40.0                      # measured B=4 train step (bench.py)
+    demand_img_per_s = 4 / (budget_ms / 1e3)
+    for i, a in enumerate(sys.argv):
+        if a == "--budget-ms":
+            budget_ms = float(sys.argv[i + 1])
+
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    from vlbert_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    transform = build_transforms(cfg, "train", rng=np.random.default_rng(0),
+                                 device_norm=True)
+    ds = VCRDataset(os.path.join(tmp, "ann.jsonl"), "train", tmp, tmp,
+                    tokenizer=tok, transform=transform, task="Q2A",
+                    add_image_as_a_box=True, mask_size=(14, 14),
+                    seq_len=64, ignore_db_cache=True)
+    workers = min(16, os.cpu_count() or 4)
+    dl = DataLoader(ds, batch_size=8, collate_fn=collate, shuffle=True,
+                    num_threads=4, num_workers=workers, prefetch=4)
+    with mesh:
+        it = iter(dl)
+        first = shard_batch(next(it), mesh)          # warm pool + compile
+        jax.block_until_ready([x for x in jax.tree_util.tree_leaves(first)
+                               if x is not None][0])
+        t_wait = t_shard = 0.0
+        imgs = 0
+        t_all = time.time()
+        t0 = time.time()
+        for batch in it:
+            t_wait += time.time() - t0
+            ts = time.time()
+            shard_batch(batch, mesh)
+            t_shard += time.time() - ts
+            imgs += 8
+            time.sleep(budget_ms / 1e3 * 2)   # 8 imgs = 2 x B=4 steps
+            t0 = time.time()
+        total = time.time() - t_all
+    dl.shutdown()
+    sustained = imgs / max(t_wait + t_shard, 1e-9)   # host-limited rate
+    n_cpus = os.cpu_count() or 1
+    out["feed_rate"] = {
+        "workers": workers,
+        "device_budget_ms_per_b4_step": budget_ms,
+        "device_demand_img_per_s": round(demand_img_per_s, 1),
+        "host_sustained_img_per_s": round(sustained, 1),
+        "data_phase_fraction": round((t_wait + t_shard) / total, 4),
+        "keeps_chip_fed": sustained >= demand_img_per_s,
+        # this container exposes few vCPUs; a TPU-VM host has 100-240.
+        # the pipeline is embarrassingly parallel per sample (the pool maps
+        # whole batches), so demand/percore = cores needed per chip
+        "host_cpus_here": n_cpus,
+        "per_core_img_per_s": round(sustained / n_cpus, 1),
+        "projected_cores_needed_per_chip": round(
+            demand_img_per_s / max(sustained / n_cpus, 1e-9), 1),
+    }
     print(json.dumps(out))
 
 
