@@ -330,16 +330,25 @@ def make_optimizer(config, params, steps_per_epoch):
     if t.CLIP_GRAD_NORM and t.CLIP_GRAD_NORM > 0:
         chain.append(optax.clip_by_global_norm(t.CLIP_GRAD_NORM))
 
+    # moment transforms are MASKED to the trainable set: the reference
+    # constructs its optimizer over requires_grad=True params only
+    # (vcr/function/train.py:125-135), so frozen leaves (word table,
+    # frozen stages, BN affine) carry NO moment state there. Besides
+    # parity, this trims ~25M params' worth of fp32 (m, v) from HBM and
+    # from every step's elementwise update (frozen grads are zeros the
+    # final _mask_updates would discard anyway).
     if t.OPTIMIZER == "SGD":
         if t.WD:
             chain.append(optax.add_decayed_weights(t.WD, mask=mask))
-        chain.append(optax.trace(decay=t.MOMENTUM))
+        chain.append(optax.masked(optax.trace(decay=t.MOMENTUM), mask))
     elif t.OPTIMIZER == "Adam":
         if t.WD:
             chain.append(optax.add_decayed_weights(t.WD, mask=mask))
-        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        chain.append(optax.masked(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8), mask))
     elif t.OPTIMIZER == "AdamW":
-        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6))
+        chain.append(optax.masked(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6), mask))
         if t.WD:
             chain.append(optax.add_decayed_weights(t.WD, mask=mask))
     else:
