@@ -86,6 +86,55 @@ def test_lr_mult_and_trainable_mask():
     assert mults["vlbert"]["encoder"]["layer_0"]["intermediate_dense"]["kernel"] == 1.0
 
 
+def test_frozen_params_carry_no_moment_state():
+    """The reference builds its optimizer over requires_grad=True params only
+    (ref vcr/function/train.py:125-135) — frozen leaves must carry NO Adam
+    moment arrays here either (optax.MaskedNode), both for parity and so
+    ~25M frozen params don't cost fp32 (m, v) HBM + per-step updates."""
+    import optax
+
+    params = {
+        "backbone": {"conv1": {"kernel": np.ones((3,), np.float32)},
+                     "layer3": {"conv1": {"kernel": np.ones(3, np.float32)}}},
+        "vlbert": {"word_embeddings": {"embedding": np.ones((5, 2), np.float32)}},
+    }
+    cfg = default_config("vcr")
+    cfg.NETWORK.IMAGE_FROZEN_BACKBONE_STAGES = [1, 2]
+    cfg.NETWORK.VLBERT.word_embedding_frozen = True
+    cfg.TRAIN.OPTIMIZER = "AdamW"
+    tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+    opt_state = tx.init(params)
+
+    masked_nodes = []
+    moment_arrays = []
+
+    def walk(x):
+        if isinstance(x, optax.MaskedNode):
+            masked_nodes.append(x)
+        elif hasattr(x, "shape"):
+            moment_arrays.append(x)
+
+    jax.tree_util.tree_map(
+        walk, opt_state,
+        is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+    # conv1 kernel + word embedding frozen -> 2 leaves x (mu, nu)
+    assert len(masked_nodes) == 4, masked_nodes
+    # trainable layer3 kernel still has mu+nu (plus step counters)
+    assert any(a.shape == (3,) for a in moment_arrays)
+
+    # the masked chain still runs: one update leaves frozen params untouched
+    grads = jax.tree_util.tree_map(lambda p: np.ones_like(p), params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(new_params["backbone"]["conv1"]["kernel"],
+                                  params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        new_params["vlbert"]["word_embeddings"]["embedding"],
+        params["vlbert"]["word_embeddings"]["embedding"])
+    assert not np.array_equal(new_params["backbone"]["layer3"]["conv1"]["kernel"],
+                              params["backbone"]["layer3"]["conv1"]["kernel"])
+
+
 def _tiny_vqa_setup(rng, grad_accum=1):
     cfg = default_config("vqa")
     cfg.MODULE = "ResNetVLBERT"
