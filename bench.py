@@ -232,7 +232,7 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
     mesh = make_mesh()
     init_batch = batch if accum == 1 else jax.tree_util.tree_map(
         lambda x: x[0], batch)
-    state, tx, _ = create_train_state(model, init_batch, cfg,
+    state, tx, _, _lr = create_train_state(model, init_batch, cfg,
                                       steps_per_epoch=100)
     step = make_train_step(model, tx, "vcr", cfg, grad_accum=accum)
     rep = replicated(mesh)
@@ -379,7 +379,17 @@ def main(argv=None):
 
 if __name__ == "__main__":
     if "--train" in sys.argv:
+        # single-section mode for iterating on one config; honors the
+        # modifier flags (the default main() already captures all of
+        # train/accum4/b16/large without any flags)
         _enable_compile_cache()
-        print(json.dumps(train_bench(B=4, accum=1)))
+        kw = dict(B=4, accum=1)
+        if "--large" in sys.argv:
+            kw["large"] = True
+        if "--accum" in sys.argv:
+            kw["accum"] = 4
+        if "--b16" in sys.argv:
+            kw["B"] = 16
+        print(json.dumps(train_bench(**kw)))
     else:
         sys.exit(main())

@@ -169,10 +169,10 @@ def main():
     # rate and the Speedometer Data-phase fraction — host keeps the chip
     # fed iff data_fraction ~ 0 and sustained >= demand.
     budget_ms = 40.0                      # measured B=4 train step (bench.py)
-    demand_img_per_s = 4 / (budget_ms / 1e3)
     for i, a in enumerate(sys.argv):
         if a == "--budget-ms":
             budget_ms = float(sys.argv[i + 1])
+    demand_img_per_s = 4 / (budget_ms / 1e3)
 
     os.environ.setdefault("XLA_FLAGS",
                           "--xla_force_host_platform_device_count=8")

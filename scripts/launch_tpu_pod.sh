@@ -36,9 +36,16 @@ if [[ "${PROVISION:-0}" == "1" ]]; then
     --runtime-version "${RUNTIME_VERSION}" \
     $([[ "${BEST_EFFORT:-0}" == "1" ]] && echo --best-effort)
   echo "waiting for ${TPU_NAME} to become ACTIVE..."
-  until gcloud compute tpus queued-resources describe "${TPU_NAME}-qr" \
-      --zone "${ZONE}" --format='value(state.state)' | grep -q ACTIVE; do
-    sleep 30
+  while :; do
+    STATE=$(gcloud compute tpus queued-resources describe "${TPU_NAME}-qr" \
+      --zone "${ZONE}" --format='value(state.state)')
+    case "${STATE}" in
+      ACTIVE) break ;;
+      FAILED|SUSPENDED|SUSPENDING)
+        echo "queued-resource ${TPU_NAME}-qr entered ${STATE}; aborting" >&2
+        exit 1 ;;
+      *) sleep 30 ;;
+    esac
   done
 fi
 

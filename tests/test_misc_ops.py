@@ -70,7 +70,7 @@ def test_smart_resume_explicit(tmp_path, rng):
     from vlbert_tpu.training.loop import create_train_state
 
     cfg, m, batch = _tiny_vqa_setup(rng)
-    state, tx, _ = create_train_state(m, batch, cfg, steps_per_epoch=4)
+    state, tx, _, _lr = create_train_state(m, batch, cfg, steps_per_epoch=4)
     prefix = str(tmp_path / "ck")
     save_checkpoint(prefix, 4, state, extra={"best_val": 0.7})
 

@@ -135,6 +135,72 @@ def test_frozen_params_carry_no_moment_state():
                               params["backbone"]["layer3"]["conv1"]["kernel"])
 
 
+def test_pre_masked_opt_state_checkpoint_restores(tmp_path):
+    """Checkpoints saved before the masked-moments change (round 2: full
+    (mu, nu) for every leaf, no MaskedState level) must still restore —
+    frozen leaves' moments are dropped (their updates were mask-zeroed, so
+    behavior-identical), trainable moments land intact."""
+    import flax.serialization
+    import optax
+
+    from vlbert_tpu.training.checkpoint import load_checkpoint
+
+    params = {
+        "backbone": {"conv1": {"kernel": np.ones((3,), np.float32)},
+                     "layer3": {"conv1": {"kernel": np.ones(3, np.float32)}}},
+    }
+    cfg = default_config("vcr")
+    cfg.NETWORK.IMAGE_FROZEN_BACKBONE_STAGES = [1, 2]
+    cfg.TRAIN.OPTIMIZER = "AdamW"
+    tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+    opt_state = tx.init(params)
+    state = TrainState(params={"params": params}, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+
+    # forge the ROUND-2 serialized form: unwrap MaskedState's inner_state
+    # level and give every leaf (incl. the frozen conv1) full moments
+    sd = flax.serialization.to_state_dict(state.opt_state)
+
+    def forge(node):
+        if isinstance(node, dict):
+            if set(node) == {"inner_state"}:
+                node = node["inner_state"]
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict) and not v:   # MaskedNode -> moments
+                    out[k] = np.full((3,), 7.0, np.float32)
+                else:
+                    out[k] = forge(v)
+            return out
+        if getattr(node, "shape", None) == (3,):    # mark trainable moments
+            return np.full((3,), 7.0, np.float32)
+        return node
+
+    old_sd = forge(sd)
+    assert old_sd != sd                       # actually exercised migration
+    payload = {
+        "params": flax.serialization.to_state_dict({"params": params}),
+        "opt_state": old_sd,
+        "step": 5,
+        "extra": {},
+    }
+    path = tmp_path / "old-0000.model"
+    path.write_bytes(flax.serialization.msgpack_serialize(payload))
+
+    # trainable mu marked so we can see it survive
+    restored, extra = load_checkpoint(str(path), state)
+    masked_nodes = [x for x in jax.tree_util.tree_leaves(
+        restored.opt_state,
+        is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+        if isinstance(x, optax.MaskedNode)]
+    assert len(masked_nodes) == 2             # frozen conv1 mu+nu dropped
+    assert int(restored.step) == 5
+    # the trainable layer3 moments landed (forged value 7.0 survives)
+    vals = [np.asarray(x) for x in jax.tree_util.tree_leaves(restored.opt_state)
+            if getattr(x, "shape", None) == (3,)]
+    assert vals and all(np.allclose(v, 7.0) for v in vals)
+
+
 def _tiny_vqa_setup(rng, grad_accum=1):
     cfg = default_config("vqa")
     cfg.MODULE = "ResNetVLBERT"
@@ -183,7 +249,7 @@ def test_multidevice_train_step_loss_decreases(rng):
     cfg, m, batch = _tiny_vqa_setup(rng)
     mesh = make_mesh()
     sample = tuple(b for b in batch)
-    state, tx, sched = create_train_state(m, sample, cfg, steps_per_epoch=10)
+    state, tx, sched, _lr = create_train_state(m, sample, cfg, steps_per_epoch=10)
     step = make_train_step(m, tx, "vqa", cfg, grad_accum=1)
 
     rep = replicated(mesh)
@@ -209,7 +275,7 @@ def test_grad_accumulation_matches_big_batch(rng):
     cfg, m, batch = _tiny_vqa_setup(rng)
     cfg.TRAIN.CLIP_GRAD_NORM = -1  # clipping is nonlinear; disable for parity
     sample = batch
-    state, tx, _ = create_train_state(m, sample, cfg, steps_per_epoch=10)
+    state, tx, _, _lr = create_train_state(m, sample, cfg, steps_per_epoch=10)
     state2 = TrainState(params=state.params, opt_state=state.opt_state,
                         step=state.step)
 
@@ -243,10 +309,10 @@ def test_grad_accumulation_matches_big_batch(rng):
 
 def test_checkpoint_roundtrip_and_auto_resume(tmp_path, rng):
     cfg, m, batch = _tiny_vqa_setup(rng)
-    state, tx, _ = create_train_state(m, batch, cfg, steps_per_epoch=10)
+    state, tx, _, _lr = create_train_state(m, batch, cfg, steps_per_epoch=10)
     prefix = str(tmp_path / "vlbert_tpu")
     p = save_checkpoint(prefix, 3, state, extra={"best_val": 0.5})
-    state2, _, _2 = create_train_state(m, batch, cfg, steps_per_epoch=10,
+    state2, _, _2, _lr2 = create_train_state(m, batch, cfg, steps_per_epoch=10,
                                        rng=jax.random.PRNGKey(42))
     resumed, begin_epoch, extra = auto_resume(prefix, state2, end_epoch=10)
     assert begin_epoch == 4
@@ -450,7 +516,7 @@ def test_fp16_static_loss_scale_parity(rng):
     AMP O2 fixed scale, vcr/function/train.py:322-328). With fp32 params the
     scaled step must match the unscaled step exactly up to fp rounding."""
     cfg, m, batch = _tiny_vqa_setup(rng)
-    state0, tx, _ = create_train_state(m, batch, cfg, steps_per_epoch=10)
+    state0, tx, _, _lr = create_train_state(m, batch, cfg, steps_per_epoch=10)
 
     step_plain = make_train_step(m, tx, "vqa", cfg, grad_accum=1)
     cfg2 = cfg.clone() if hasattr(cfg, "clone") else cfg
@@ -978,7 +1044,7 @@ def test_model_parallel_train_step_matches_dp(rng):
     cfg.NETWORK.VLBERT.hidden_dropout_prob = 0.0
     cfg.NETWORK.VLBERT.attention_probs_dropout_prob = 0.0
     m = build_module(cfg, "vqa", dtype=jnp.float32)
-    state, tx, _ = create_train_state(m, batch, cfg, steps_per_epoch=10)
+    state, tx, _, _lr = create_train_state(m, batch, cfg, steps_per_epoch=10)
     step = make_train_step(m, tx, "vqa", cfg, grad_accum=1)
     key = jax.random.PRNGKey(0)
 

@@ -240,18 +240,17 @@ def train_net(args, config, task):
     else:
         sample_init = sample
 
-    state, tx, sched = create_train_state(model, sample_init, config,
-                                          steps_per_epoch)
+    state, tx, sched, base_lr = create_train_state(model, sample_init, config,
+                                                   steps_per_epoch)
 
     # startup parameter table (ref common/utils/misc.py:40-67, called from
     # every train.py task entry), split by the optimizer's trainable mask
-    from vlbert_tpu.training.optim import make_lr_schedule, trainable_mask
+    from vlbert_tpu.training.optim import trainable_mask
     from vlbert_tpu.utils.misc import summary_parameters
 
     if rank == 0:
         summary_parameters(state.params["params"],
                            trainable_mask(state.params["params"], config))
-    base_lr = make_lr_schedule(config, steps_per_epoch)[1]
 
     model_prefix = os.path.join(output_path, config.MODEL_PREFIX or "vlbert_tpu")
     # Warm starts are skipped when a resumable checkpoint exists — the

@@ -46,6 +46,38 @@ def mirror_best(prefix, epoch_path):
     return best
 
 
+def _reconcile_masked_opt_state(target, payload):
+    """Migrate a pre-round-3 opt_state state-dict onto a masked-moments
+    target.
+
+    Round 3 wrapped the Adam/momentum transforms in ``optax.masked``
+    (frozen params carry no moment state, matching the reference's
+    requires_grad=True-only optimizer). That changed the serialized tree:
+    the moment state gained an ``inner_state`` level (MaskedState) and
+    frozen leaves' (mu, nu) became empty MaskedNode dicts. Checkpoints
+    saved before the change still restore: insert the missing
+    ``inner_state`` level and drop moments the target no longer tracks
+    (they belonged to frozen params, whose updates were masked to zero —
+    discarding them is behavior-identical). Identity for current-format
+    checkpoints.
+    """
+    if isinstance(target, dict) and not target:
+        return {}                      # MaskedNode: frozen leaf, no state
+    if isinstance(target, dict) and isinstance(payload, dict):
+        if "inner_state" in target and "inner_state" not in payload:
+            return {"inner_state":
+                    _reconcile_masked_opt_state(target["inner_state"],
+                                                payload)}
+        # keys missing from either side pass through unchanged so
+        # from_state_dict still raises loudly on genuine mismatches
+        out = {}
+        for k, pv in payload.items():
+            out[k] = (_reconcile_masked_opt_state(target[k], pv)
+                      if k in target else pv)
+        return out
+    return payload
+
+
 def load_checkpoint(path, state=None):
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
@@ -55,8 +87,10 @@ def load_checkpoint(path, state=None):
 
     params = flax.serialization.from_state_dict(
         jax.device_get(state.params), payload["params"])
-    opt_state = flax.serialization.from_state_dict(
-        jax.device_get(state.opt_state), payload["opt_state"])
+    target_opt = jax.device_get(state.opt_state)
+    opt_sd = _reconcile_masked_opt_state(
+        flax.serialization.to_state_dict(target_opt), payload["opt_state"])
+    opt_state = flax.serialization.from_state_dict(target_opt, opt_sd)
     new_state = state.replace(params=params, opt_state=opt_state,
                               step=jnp.asarray(payload["step"], jnp.int32))
     return new_state, payload.get("extra", {})

@@ -55,7 +55,7 @@ def create_train_state(model, sample_batch, config, steps_per_epoch, rng=None,
     opt_state = tx.init(params["params"])
     state = TrainState(params=params, opt_state=opt_state,
                        step=jnp.zeros((), jnp.int32))
-    return state, tx, sched
+    return state, tx, sched, base_lr
 
 
 def make_train_step(model, tx, task, config, grad_accum=1):
@@ -74,6 +74,22 @@ def make_train_step(model, tx, task, config, grad_accum=1):
     if config.TRAIN.FP16 and config.TPU.get("FP16_PARITY_MODE", False):
         loss_scale = float(config.TRAIN.FP16_LOSS_SCALE)
 
+    from vlbert_tpu.training.optim import trainable_mask
+
+    def mask_frozen_grads(grads):
+        # requires_grad=False params produce NO gradients in the reference,
+        # so neither its clip_grad_norm_ nor the logged Total-Norm ever see
+        # them (common/trainer.py:139-148 iterates net.parameters() where
+        # frozen leaves have grad=None; BN stats aren't parameters at all).
+        # Here FrozenBatchNorm scale/bias/mean/var are ordinary params with
+        # real gradients — zero them at the source so the clip threshold
+        # binds on the same norm as the reference and the metric matches.
+        # (stop_gradient'd prefix stages are already zero; this costs one
+        # fused select per frozen leaf.)
+        mask = trainable_mask(grads, config)
+        return jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+
     def one_micro(params, batch, rng):
         def lf(p):
             outputs, loss = model.apply(p, *batch, train=True,
@@ -82,6 +98,7 @@ def make_train_step(model, tx, task, config, grad_accum=1):
                 metrics_lib.device_metrics(task, config, outputs)
 
         (loss, dm), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        grads = {**grads, "params": mask_frozen_grads(grads["params"])}
         if loss_scale != 1.0:
             inv = 1.0 / loss_scale
             loss = loss * inv
