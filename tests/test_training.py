@@ -1,6 +1,8 @@
 """Training-stack tests: schedules, masks, and a full multi-device train step
 on the virtual 8-CPU mesh (loss must decrease)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -199,6 +201,30 @@ def test_pre_masked_opt_state_checkpoint_restores(tmp_path):
     vals = [np.asarray(x) for x in jax.tree_util.tree_leaves(restored.opt_state)
             if getattr(x, "shape", None) == (3,)]
     assert vals and all(np.allclose(v, 7.0) for v in vals)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_write saves must be invisible to readers: load/mirror join the
+    background writer; the write is atomic (no .tmp left behind)."""
+    from vlbert_tpu.training.checkpoint import mirror_best
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    cfg = default_config("vqa")
+    cfg.TRAIN.OPTIMIZER = "AdamW"
+    tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+    state = TrainState(params={"params": params}, opt_state=tx.init(params),
+                       step=jnp.asarray(3, jnp.int32))
+    prefix = str(tmp_path / "async")
+    p = save_checkpoint(prefix, 1, state, extra={"best_val": 0.5},
+                        async_write=True)
+    # immediately read back — load_checkpoint must join the writer
+    restored, extra = load_checkpoint(p, state)
+    assert int(restored.step) == 3 and extra["best_val"] == 0.5
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["params"]["w"]), params["w"])
+    best = mirror_best(prefix, p)
+    assert os.path.exists(best)
+    assert not os.path.exists(p + ".tmp")
 
 
 def _tiny_vqa_setup(rng, grad_accum=1):

@@ -290,10 +290,17 @@ def train_net(args, config, task):
 
         validation_fn = make_validation_fn(model, config, task, mesh)
 
+    # background the serialize+write (seconds per epoch at base size) —
+    # readers join the writer, and writes are atomic, so this is invisible
+    # except as reclaimed step time; TPU.ASYNC_CHECKPOINT=false restores
+    # the reference's fully synchronous save
+    async_ckpt = bool(config.TPU.get("ASYNC_CHECKPOINT", True))
+
     def checkpoint_fn(st, epoch, extra_dict, is_best):
         if rank == 0:
             path = ckpt_lib.save_checkpoint(model_prefix, epoch, st,
-                                            extra=extra_dict)
+                                            extra=extra_dict,
+                                            async_write=async_ckpt)
             # -best.model mirrors only the best-val epoch (ref checkpoint.py:
             # 10-25 keyed on validation_monitor.best_epoch); without
             # validation, every save is "best" (nothing else to rank by)
@@ -317,6 +324,7 @@ def train_net(args, config, task):
                 best_val=extra.get("best_val"),
                 plateau_state=extra.get("plateau"),
                 sched=sched, base_lr=base_lr)
+    ckpt_lib.wait_for_pending_save()     # don't exit with an in-flight write
     if writer is not None:
         writer.close()
     return state

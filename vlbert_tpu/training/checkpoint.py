@@ -14,6 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import shutil
+import threading
 
 import flax.serialization
 import jax
@@ -21,9 +22,34 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# at most one in-flight background writer (per process); every reader /
+# next writer joins it first, so async saves are invisible to callers
+_pending_save: threading.Thread | None = None
 
-def save_checkpoint(prefix, epoch, state, extra=None):
-    """Save params+opt_state+step (+extra dict) to {prefix}-{epoch:04d}.model."""
+
+def wait_for_pending_save():
+    """Join the in-flight async checkpoint write, if any."""
+    global _pending_save
+    if _pending_save is not None:
+        _pending_save.join()
+        _pending_save = None
+
+
+def save_checkpoint(prefix, epoch, state, extra=None, async_write=False):
+    """Save params+opt_state+step (+extra dict) to {prefix}-{epoch:04d}.model.
+
+    The device->host snapshot is always synchronous (the caller's next
+    train step donates/overwrites the device buffers). With
+    ``async_write`` the msgpack serialize + file write — seconds of wall
+    time for base-size params that the reference's torch.save spends
+    inside the epoch loop (ref checkpoint.py:10-25) — happens in a
+    background thread instead, overlapping the next epoch's compute.
+    Writes go to a temp file + atomic os.replace either way, so a
+    preemption mid-write can never leave a torn {epoch}.model for
+    AUTO_RESUME to trip over.
+    """
+    global _pending_save
+    wait_for_pending_save()
     payload = {
         "params": flax.serialization.to_state_dict(jax.device_get(state.params)),
         "opt_state": flax.serialization.to_state_dict(
@@ -33,13 +59,25 @@ def save_checkpoint(prefix, epoch, state, extra=None):
     }
     path = f"{prefix}-{epoch:04d}.model"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(flax.serialization.msgpack_serialize(payload))
-    logger.info("saved checkpoint %s", path)
+
+    def write():
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(payload))
+        os.replace(tmp, path)
+        logger.info("saved checkpoint %s", path)
+
+    if async_write:
+        _pending_save = threading.Thread(
+            target=write, name="ckpt-writer", daemon=True)
+        _pending_save.start()
+    else:
+        write()
     return path
 
 
 def mirror_best(prefix, epoch_path):
+    wait_for_pending_save()              # epoch_path may still be writing
     best = f"{prefix}-best.model"
     shutil.copyfile(epoch_path, best)
     logger.info("mirrored best checkpoint to %s", best)
@@ -79,6 +117,7 @@ def _reconcile_masked_opt_state(target, payload):
 
 
 def load_checkpoint(path, state=None):
+    wait_for_pending_save()              # read-after-async-write safety
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
     if state is None:

@@ -310,6 +310,9 @@ def _common_config():
     # chunk the XLA ROIAlign's [B,O,P,W,C] intermediate into groups of N
     # rois (memory-tight runs); None = single einsum
     tp.ROI_CHUNK = None
+    # background the checkpoint serialize+write (atomic tmp+rename; readers
+    # join the writer) — false restores the reference's synchronous save
+    tp.ASYNC_CHECKPOINT = True
     return c
 
 
