@@ -294,6 +294,121 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
     }
 
 
+def _pretrain_batch(B, aux_B, IMG=608, O=36, T=64, n_classes=1601, seed=0):
+    """Synthetic CC+corpus multitask pretraining batch (e2e raw-pixel path):
+    image/boxes/MLM/MVRC stream + text-only aux stream, the shapes the
+    pretrain collator pads to (ref pretrain/data/collators/*.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    image = jnp.asarray(rng.integers(0, 256, (B, IMG, IMG, 3)), jnp.uint8)
+    boxes = np.zeros((B, O, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, IMG // 2, (B, O))
+    boxes[..., 1] = rng.uniform(0, IMG // 2, (B, O))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(16, IMG // 2, (B, O))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(16, IMG // 2, (B, O))
+    im_info = jnp.asarray([[IMG, IMG, 1, 1]] * B, jnp.float32)
+    text = np.zeros((B, T), np.int32)
+    text[:, : T - 6] = rng.integers(5, 30000, (B, T - 6))   # 0 = pad
+    rel = jnp.zeros((B,), jnp.int32)
+    mlm = np.full((B, T), -1, np.int32)
+    picks = rng.uniform(size=(B, T)) < 0.15
+    mlm[picks] = rng.integers(5, 30000, int(picks.sum()))
+    mvrc_ops = jnp.asarray(rng.uniform(size=(B, O)) < 0.15, jnp.int32)
+    mvrc_labels = np.zeros((B, O, n_classes), np.float32)
+    mvrc_labels[np.arange(B)[:, None], np.arange(O)[None],
+                rng.integers(0, n_classes, (B, O))] = 1.0
+    aux_text = np.zeros((aux_B, T), np.int32)
+    aux_text[:, : T - 2] = rng.integers(5, 30000, (aux_B, T - 2))
+    aux_mlm = np.full((aux_B, T), -1, np.int32)
+    apicks = rng.uniform(size=(aux_B, T)) < 0.15
+    aux_mlm[apicks] = rng.integers(5, 30000, int(apicks.sum()))
+    return (image, jnp.asarray(boxes), im_info, jnp.asarray(text), rel,
+            jnp.asarray(mlm), mvrc_ops, jnp.asarray(mvrc_labels),
+            jnp.asarray(aux_text), jnp.asarray(aux_mlm))
+
+
+def pretrain_bench(B=8, aux_B=8, IMG=608, O=36, T=64, k1=3, k2=9):
+    """Full e2e multitask PRETRAIN step: ResNet-101 raw-pixel masking +
+    VL-BERT-base MLM+MVRC heads + text-only aux stream + AdamW (the
+    reference's cfgs/pretrain/base_e2e_16x16G_fp16.yaml workload, per-GPU
+    batch 8 images + 8 aux texts)."""
+    import jax
+    import numpy as np
+
+    from vlbert_tpu.models.task_modules import build_module
+    from vlbert_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from vlbert_tpu.training.loop import create_train_state, make_train_step
+    from vlbert_tpu.utils.config import load_config
+
+    cfg = load_config("pretrain", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "cfgs/pretrain/base_e2e_16x16G_fp16.yaml"))
+    cfg.TRAIN.FP16 = False           # bf16 compute (TPU default), no scaling
+    import jax.numpy as jnp
+
+    model = build_module(cfg, "pretrain", dtype=jnp.bfloat16)
+    batch = _pretrain_batch(B=B, aux_B=aux_B, IMG=IMG, O=O, T=T)
+    mesh = make_mesh()
+    state, tx, _, _lr = create_train_state(model, batch, cfg,
+                                           steps_per_epoch=100)
+    step = make_train_step(model, tx, "pretrain", cfg, grad_accum=1)
+    rep = replicated(mesh)
+    jit_step = jax.jit(step, donate_argnums=(0,),
+                       out_shardings=(rep, rep, rep))
+    n_stage = 3 + 2 + k1 + k2
+    try:
+        with mesh:
+            state = jax.device_put(state, rep)
+            sb = shard_batch(batch, mesh)
+            imgs = _staged_images(np.asarray(sb[0]), n_stage)
+            rng = jax.random.PRNGKey(0)
+            s, l, _ = jit_step(state, (imgs[0],) + sb[1:], rng)
+            float(l)
+            flops = None
+            try:
+                flops = _flops_of(jax.jit(step), s, (imgs[0],) + sb[1:], rng)
+            except Exception:
+                pass
+            for i in range(1, 3):
+                s, l, _ = jit_step(s, (imgs[i],) + sb[1:],
+                                   jax.random.PRNGKey(i))
+            float(l)
+            lvs = []
+
+            def run_k(k, base, _n=[3]):
+                nonlocal s
+                t0 = time.time()
+                for j in range(k):
+                    _n[0] += 1
+                    s, l, _ = jit_step(s, (imgs[3 + base + j],) + sb[1:],
+                                       jax.random.PRNGKey(_n[0]))
+                lvs.append(float(l))
+                return time.time() - t0
+
+            dt = _slope_time(run_k, k1=k1, k2=k2)
+            assert len(set(lvs)) == len(lvs), f"dedupe artifact: {lvs}"
+    finally:
+        try:
+            _free(imgs, s, sb, state)
+        except NameError:
+            pass
+    if flops and flops / dt / V5E_PEAK_BF16 > 1.0:
+        raise RuntimeError(
+            f"impossible MFU {flops / dt / V5E_PEAK_BF16:.2f} > 1 — "
+            "timing artifact; rejecting the reading")
+    return {
+        "img_per_s": round(B / dt, 2),
+        "samples_per_s": round((B + aux_B) / dt, 2),
+        "ms_per_step": round(dt * 1e3, 3),
+        "batch_images": B,
+        "batch_aux_texts": aux_B,
+        "mfu": round(flops / dt / V5E_PEAK_BF16, 4) if flops else None,
+        "tflops_per_step": round(flops / 1e12, 2) if flops else None,
+    }
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     _enable_compile_cache()
@@ -333,14 +448,26 @@ def main(argv=None):
             ("train_step_b16", [dict(B=16, accum=1, k1=4, k2=12),
                                 dict(B=16, accum=1, k1=2, k2=6),
                                 dict(B=8, accum=1, k1=3, k2=9)]),
-            # B=4 fits on one v5e chip without remat and is ~14% faster per
-            # image than B=2 (49.5 vs 43 img/s measured); remat measured
-            # strictly slower at this size (42 img/s) — memory isn't tight
-            ("train_step_large", [dict(B=4, accum=1, large=True, k1=3, k2=9),
+            # B=16 fits large on one v5e chip without remat (measured:
+            # 69.8 img/s MFU 0.441 vs 48.9/0.277 at B=4, 58.8/0.327 at
+            # B=8) — same conv-bwd amortization as base; remat measured
+            # strictly slower (42 img/s at B=4) — memory isn't tight
+            ("train_step_large", [dict(B=16, accum=1, large=True, k1=2, k2=6),
+                                  dict(B=8, accum=1, large=True, k1=3, k2=7),
+                                  dict(B=4, accum=1, large=True, k1=3, k2=9),
                                   dict(B=2, accum=1, large=True, k1=3, k2=7)]),
         ]
     for name, ladder in sections:
         details[name] = _with_degrade(train_bench, ladder, name)
+
+    if "--pretrain" in argv:
+        # reference pretraining workload (CC e2e + aux corpus, MLM+MVRC);
+        # off by default to keep the driver-run bench bounded
+        details["pretrain_step"] = _with_degrade(pretrain_bench, [
+            dict(B=16, aux_B=16, k1=2, k2=6),
+            dict(B=8, aux_B=8, k1=3, k2=9),
+            dict(B=4, aux_B=4, k1=3, k2=7),
+        ], "pretrain_step")
 
     value = fwd.get("img_per_s")
     unit = "img/s"
