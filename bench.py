@@ -4,7 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}
 on EVERY path — each section is individually guarded, catches
 RESOURCE_EXHAUSTED, and degrades (fewer staged inputs, then smaller batch)
 before giving up; a failed section becomes an {"error": ...} entry in
-"details" instead of a nonzero exit.
+"details" instead of a nonzero exit. Two further guards (both failure modes
+observed live): a backend-liveness preflight with a hard deadline
+(BENCH_BACKEND_TIMEOUT_S, default 900 s — the device tunnel can hang
+forever inside jax backend init when the relay is down), and a global
+watchdog (BENCH_DEADLINE_S, default 5400 s) that emits the JSON line with
+whatever sections completed if the run wedges mid-measurement.
 
 Headline value = forward images/sec/chip through the full ROIAlign +
 VL-BERT path (ResNet-101 backbone, 14x14 ROIAlign, conv5 head, 12-layer
@@ -42,6 +47,7 @@ details["legacy_vs_estimated_a100"] for continuity only.
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -409,7 +415,78 @@ def pretrain_bench(B=8, aux_B=8, IMG=608, O=36, T=64, k1=3, k2=9):
     }
 
 
+def _backend_alive(timeout_s, _probe=None):
+    """True device-backend liveness with a hard deadline.
+
+    The device tunnel can hang INSIDE backend init (observed live: relay
+    outage -> jax.devices() blocks forever at load ~0, which would leave the
+    driver-captured bench with no JSON line at all). Probe from a daemon
+    thread and give up after timeout_s.
+    """
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        d = jax.devices()
+        x = jnp.ones((128, 128), jnp.bfloat16)
+        float((x @ x).sum())
+        return str(d[0])
+
+    got = []
+    t = threading.Thread(target=lambda: got.append((_probe or probe)()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return got[0] if got else None
+
+
+_EMITTED = threading.Lock()  # exactly-one-JSON-line guard (watchdog races)
+
+
+def _emit(details):
+    """Compute the headline from whatever sections completed and print the
+    one JSON line. Safe to call from the watchdog thread mid-run."""
+    if not _EMITTED.acquire(blocking=False):
+        return
+    fwd = details.get("fwd", {})
+    value = fwd.get("img_per_s")
+    unit = "img/s"
+    if value is None:               # forward failed entirely: fall back to
+        ts = details.get("train_step", {})  # the train number, then to 0
+        value = ts.get("img_per_s", 0.0)
+        unit = "img/s (train-step fallback; fwd failed)" if value else "img/s"
+
+    vs_sol = None
+    if fwd.get("flops_per_img") and fwd.get("img_per_s"):
+        a100_sol = A100_PEAK_BF16 / fwd["flops_per_img"]
+        vs_sol = round(fwd["img_per_s"] / a100_sol, 4)
+        details["a100_speed_of_light_img_per_s"] = round(a100_sol, 1)
+        details["vs_baseline_meaning"] = (
+            "fraction of a perfect (MFU=1.0) A100 on the same FLOP graph "
+            "achieved by ONE v5e chip; an A100 implementation must exceed "
+            f"{vs_sol:.2f} MFU to match this chip (x2 that for BASELINE.md's "
+            ">=2x acceptance); eager-mode torch conv+transformer training "
+            "does not reach such MFU, but it is unmeasured here, so no "
+            "numeric multiplier is claimed")
+    if fwd.get("img_per_s"):
+        details["legacy_vs_estimated_a100"] = round(
+            fwd["img_per_s"] / LEGACY_A100_EST_IMG_PER_S, 3)
+
+    print(json.dumps({
+        "metric": ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
+                   "36 boxes, 4x48 text, B=16; train/accum4/b16/large in "
+                   "details)"),
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_sol if vs_sol is not None else 0.0,
+        "details": details,
+    }))
+    sys.stdout.flush()
+
+
 def main(argv=None):
+    global _EMITTED
+    _EMITTED = threading.Lock()     # fresh exactly-once guard per run
     argv = sys.argv[1:] if argv is None else argv
     _enable_compile_cache()
     details = {"methodology": (
@@ -425,6 +502,33 @@ def main(argv=None):
         "vs_baseline = fraction of an IDEAL (MFU=1.0) A100's 312-TFLOP/s "
         "throughput on the identical measured FLOP graph — fully derived, "
         "no estimated anchor (see BASELINE.md)")}
+
+    # ---- liveness + deadline guards: the JSON line must appear even if the
+    # device tunnel hangs inside backend init or mid-section (both observed)
+    probe = (lambda: time.sleep(1e9)) if "--selftest-hang" in argv else None
+    backend_t = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
+    dev = _backend_alive(backend_t, _probe=probe)
+    if dev is None:
+        details["error"] = (f"device backend unreachable within {backend_t:g}s "
+                            "(tunnel/relay hang during init) — no measurements")
+        _emit(details)
+        os._exit(0)     # init thread may be wedged in native code; hard-exit
+    details["device"] = dev
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "5400"))
+
+    def _on_deadline():
+        details["error"] = (f"watchdog: bench exceeded {deadline:g}s; "
+                            "emitting completed sections only")
+        _emit(details)
+        os._exit(0)
+
+    dog = threading.Timer(deadline, _on_deadline)
+    dog.daemon = True
+    dog.start()
+
+    if "--selftest-wedge" in argv:  # test hook: wedge mid-run so the
+        time.sleep(1e9)             # watchdog path can be exercised
 
     fwd = _with_degrade(fwd_bench, [
         dict(B=16, k1=6, k2=18),
@@ -469,38 +573,8 @@ def main(argv=None):
             dict(B=4, aux_B=4, k1=3, k2=7),
         ], "pretrain_step")
 
-    value = fwd.get("img_per_s")
-    unit = "img/s"
-    if value is None:               # forward failed entirely: fall back to
-        ts = details.get("train_step", {})  # the train number, then to 0
-        value = ts.get("img_per_s", 0.0)
-        unit = "img/s (train-step fallback; fwd failed)" if value else "img/s"
-
-    vs_sol = None
-    if fwd.get("flops_per_img") and fwd.get("img_per_s"):
-        a100_sol = A100_PEAK_BF16 / fwd["flops_per_img"]
-        vs_sol = round(fwd["img_per_s"] / a100_sol, 4)
-        details["a100_speed_of_light_img_per_s"] = round(a100_sol, 1)
-        details["vs_baseline_meaning"] = (
-            "fraction of a perfect (MFU=1.0) A100 on the same FLOP graph "
-            "achieved by ONE v5e chip; an A100 implementation must exceed "
-            f"{vs_sol:.2f} MFU to match this chip (x2 that for BASELINE.md's "
-            ">=2x acceptance); eager-mode torch conv+transformer training "
-            "does not reach such MFU, but it is unmeasured here, so no "
-            "numeric multiplier is claimed")
-    if fwd.get("img_per_s"):
-        details["legacy_vs_estimated_a100"] = round(
-            fwd["img_per_s"] / LEGACY_A100_EST_IMG_PER_S, 3)
-
-    print(json.dumps({
-        "metric": ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
-                   "36 boxes, 4x48 text, B=16; train/accum4/b16/large in "
-                   "details)"),
-        "value": value,
-        "unit": unit,
-        "vs_baseline": vs_sol if vs_sol is not None else 0.0,
-        "details": details,
-    }))
+    dog.cancel()
+    _emit(details)
     return 0
 
 

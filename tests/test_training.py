@@ -1041,6 +1041,41 @@ def test_bench_main_always_emits_json(monkeypatch, capsys):
         assert "error" in d["details"][sec], sec
 
 
+def _run_bench_subprocess(extra_argv, extra_env, timeout=120):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **extra_env)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [_sys.executable, os.path.join(repo, "bench.py")] + extra_argv,
+        capture_output=True, text=True, timeout=timeout, env=env)
+    assert p.returncode == 0, (p.returncode, p.stderr[-2000:])
+    return _json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def test_bench_backend_hang_still_emits_json():
+    """Observed live: the device tunnel hangs forever INSIDE jax backend
+    init when the relay is down — bench must detect it with a deadline and
+    still print its JSON line with rc 0 (BENCH_r02's failure mode was a
+    bench with no parseable artifact)."""
+    d = _run_bench_subprocess(
+        ["--selftest-hang"], {"BENCH_BACKEND_TIMEOUT_S": "1"})
+    assert d["value"] == 0.0
+    assert "unreachable" in d["details"]["error"]
+
+
+def test_bench_watchdog_deadline_emits_partial_json():
+    """If the run wedges mid-measurement, the global watchdog emits the JSON
+    line with whatever sections completed and exits 0."""
+    d = _run_bench_subprocess(
+        ["--selftest-wedge"],
+        {"BENCH_DEADLINE_S": "2", "BENCH_BACKEND_TIMEOUT_S": "120"})
+    assert "watchdog" in d["details"]["error"]
+    assert d["details"].get("device")    # preflight succeeded first
+
+
 def test_batch_seed_mixes_loader_id():
     """Multitask sub-loaders share cfg.RNG_SEED and epoch; loader_id must
     decorrelate their augmentation/masking RNG streams even when two
