@@ -205,6 +205,53 @@ def fwd_bench(B=16, IMG=608, O=36, C=4, T=48, k1=6, k2=18):
     }
 
 
+def _measure_step_slope(step, jit_step, state, sb, k1, k2):
+    """Shared train/pretrain step measurement protocol. Must run inside
+    `with mesh`, with `state` already device_put and `sb` sharded.
+
+    Stages varied uint8 image batches (sb[0] is always the image leaf),
+    warms + stabilizes the donated-state jit signature, slope-times chained
+    steps (each run ends in a loss VALUE fetch — the completion barrier),
+    and dedupe-checks the loss trace. Returns (dt_per_step_s, flops);
+    frees the staged inputs and the chained state on every path.
+    """
+    import jax
+    import numpy as np
+
+    n_stage = 3 + 2 + k1 + k2        # 3 warm/stabilize + slope inputs
+    imgs = _staged_images(np.asarray(sb[0]), n_stage)
+    s = state
+    try:
+        rng = jax.random.PRNGKey(0)
+        s, l, _ = jit_step(s, (imgs[0],) + sb[1:], rng)
+        float(l)
+        flops = None
+        try:
+            flops = _flops_of(jax.jit(step), s, (imgs[0],) + sb[1:], rng)
+        except Exception:
+            pass
+        for i in range(1, 3):        # stabilize donated-state signature
+            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
+        float(l)
+        lvs = []
+
+        def run_k(k, base, _n=[3]):
+            nonlocal s
+            t0 = time.time()
+            for j in range(k):
+                _n[0] += 1
+                s, l, _ = jit_step(s, (imgs[3 + base + j],) + sb[1:],
+                                   jax.random.PRNGKey(_n[0]))
+            lvs.append(float(l))     # value fetch = completion barrier;
+            return time.time() - t0  # steps chain via the donated state
+
+        dt = _slope_time(run_k, k1=k1, k2=k2)
+        assert len(set(lvs)) == len(lvs), f"dedupe artifact: {lvs}"
+        return dt, flops
+    finally:
+        _free(imgs, s)
+
+
 def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
                 k1=6, k2=18):
     """Full e2e train-step throughput (fwd + bwd + AdamW [+ scan accum])."""
@@ -244,41 +291,14 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
     rep = replicated(mesh)
     jit_step = jax.jit(step, donate_argnums=(0,),
                        out_shardings=(rep, rep, rep))
-    n_stage = 3 + 2 + k1 + k2        # 3 warm/stabilize + slope inputs
     try:
         with mesh:
             state = jax.device_put(state, rep)
             sb = shard_batch(batch, mesh, batch_dim=0 if accum == 1 else 1)
-            imgs = _staged_images(np.asarray(sb[0]), n_stage)
-            rng = jax.random.PRNGKey(0)
-            s, l, _ = jit_step(state, (imgs[0],) + sb[1:], rng)
-            float(l)
-            flops = None
-            try:
-                flops = _flops_of(jax.jit(step), s, (imgs[0],) + sb[1:], rng)
-            except Exception:
-                pass
-            for i in range(1, 3):   # stabilize donated-state signature
-                s, l, _ = jit_step(s, (imgs[i],) + sb[1:],
-                                   jax.random.PRNGKey(i))
-            float(l)
-            lvs = []
-
-            def run_k(k, base, _n=[3]):
-                nonlocal s
-                t0 = time.time()
-                for j in range(k):
-                    _n[0] += 1
-                    s, l, _ = jit_step(s, (imgs[3 + base + j],) + sb[1:],
-                                       jax.random.PRNGKey(_n[0]))
-                lvs.append(float(l))     # value fetch = completion barrier;
-                return time.time() - t0  # steps chain via the donated state
-
-            dt = _slope_time(run_k, k1=k1, k2=k2)
-            assert len(set(lvs)) == len(lvs), f"dedupe artifact: {lvs}"
+            dt, flops = _measure_step_slope(step, jit_step, state, sb, k1, k2)
     finally:
         try:
-            _free(imgs, s, sb, state)
+            _free(sb, state)
         except NameError:
             pass
     if flops and flops * accum / dt / V5E_PEAK_BF16 > 1.0:
@@ -341,7 +361,6 @@ def pretrain_bench(B=8, aux_B=8, IMG=608, O=36, T=64, k1=3, k2=9):
     reference's cfgs/pretrain/base_e2e_16x16G_fp16.yaml workload, per-GPU
     batch 8 images + 8 aux texts)."""
     import jax
-    import numpy as np
 
     from vlbert_tpu.models.task_modules import build_module
     from vlbert_tpu.parallel.mesh import make_mesh, replicated, shard_batch
@@ -363,41 +382,14 @@ def pretrain_bench(B=8, aux_B=8, IMG=608, O=36, T=64, k1=3, k2=9):
     rep = replicated(mesh)
     jit_step = jax.jit(step, donate_argnums=(0,),
                        out_shardings=(rep, rep, rep))
-    n_stage = 3 + 2 + k1 + k2
     try:
         with mesh:
             state = jax.device_put(state, rep)
             sb = shard_batch(batch, mesh)
-            imgs = _staged_images(np.asarray(sb[0]), n_stage)
-            rng = jax.random.PRNGKey(0)
-            s, l, _ = jit_step(state, (imgs[0],) + sb[1:], rng)
-            float(l)
-            flops = None
-            try:
-                flops = _flops_of(jax.jit(step), s, (imgs[0],) + sb[1:], rng)
-            except Exception:
-                pass
-            for i in range(1, 3):
-                s, l, _ = jit_step(s, (imgs[i],) + sb[1:],
-                                   jax.random.PRNGKey(i))
-            float(l)
-            lvs = []
-
-            def run_k(k, base, _n=[3]):
-                nonlocal s
-                t0 = time.time()
-                for j in range(k):
-                    _n[0] += 1
-                    s, l, _ = jit_step(s, (imgs[3 + base + j],) + sb[1:],
-                                       jax.random.PRNGKey(_n[0]))
-                lvs.append(float(l))
-                return time.time() - t0
-
-            dt = _slope_time(run_k, k1=k1, k2=k2)
-            assert len(set(lvs)) == len(lvs), f"dedupe artifact: {lvs}"
+            dt, flops = _measure_step_slope(step, jit_step, state, sb, k1, k2)
     finally:
         try:
-            _free(imgs, s, sb, state)
+            _free(sb, state)
         except NameError:
             pass
     if flops and flops / dt / V5E_PEAK_BF16 > 1.0:
@@ -416,12 +408,14 @@ def pretrain_bench(B=8, aux_B=8, IMG=608, O=36, T=64, k1=3, k2=9):
 
 
 def _backend_alive(timeout_s, _probe=None):
-    """True device-backend liveness with a hard deadline.
+    """Device-backend liveness with a hard deadline.
 
     The device tunnel can hang INSIDE backend init (observed live: relay
     outage -> jax.devices() blocks forever at load ~0, which would leave the
     driver-captured bench with no JSON line at all). Probe from a daemon
-    thread and give up after timeout_s.
+    thread and give up after timeout_s. Returns (device_str, error_msg) —
+    a probe that RAISES is reported as its exception, not as a timeout, so
+    a plugin/version failure isn't chased as a relay outage.
     """
     def probe():
         import jax
@@ -432,15 +426,29 @@ def _backend_alive(timeout_s, _probe=None):
         float((x @ x).sum())
         return str(d[0])
 
-    got = []
-    t = threading.Thread(target=lambda: got.append((_probe or probe)()),
-                         daemon=True)
+    got, err = [], []
+
+    def run():
+        try:
+            got.append((_probe or probe)())
+        except BaseException as e:  # noqa: BLE001 — reported in the JSON
+            err.append(repr(e)[:500])
+
+    t = threading.Thread(target=run, daemon=True)
     t.start()
     t.join(timeout_s)
-    return got[0] if got else None
+    if got:
+        return got[0], None
+    if err:
+        return None, f"backend probe raised: {err[0]}"
+    return None, (f"device backend unreachable within {timeout_s:g}s "
+                  "(tunnel/relay hang during init)")
 
 
+_METRIC = ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
+           "36 boxes, 4x48 text, B=16; train/accum4/b16/large in details)")
 _EMITTED = threading.Lock()  # exactly-one-JSON-line guard (watchdog races)
+_EMIT_DONE = threading.Event()  # set after the line is flushed
 
 
 def _emit(details):
@@ -472,21 +480,37 @@ def _emit(details):
         details["legacy_vs_estimated_a100"] = round(
             fwd["img_per_s"] / LEGACY_A100_EST_IMG_PER_S, 3)
 
-    print(json.dumps({
-        "metric": ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
-                   "36 boxes, 4x48 text, B=16; train/accum4/b16/large in "
-                   "details)"),
-        "value": value,
-        "unit": unit,
-        "vs_baseline": vs_sol if vs_sol is not None else 0.0,
-        "details": details,
-    }))
+    # the watchdog thread can call this while the main thread is still
+    # inserting sections into `details`; a mid-resize json.dumps raises,
+    # which must never cost us the line — retry, then degrade
+    line = None
+    for _ in range(3):
+        try:
+            line = json.dumps({
+                "metric": _METRIC,
+                "value": value,
+                "unit": unit,
+                "vs_baseline": vs_sol if vs_sol is not None else 0.0,
+                "details": {k: details[k] for k in list(details)},
+            })
+            break
+        except RuntimeError:
+            continue
+    if line is None:
+        line = json.dumps({
+            "metric": _METRIC, "value": value, "unit": unit,
+            "vs_baseline": vs_sol if vs_sol is not None else 0.0,
+            "details": {"error": "emit raced a section update; "
+                                 "partial details dropped"}})
+    print(line)
     sys.stdout.flush()
+    _EMIT_DONE.set()
 
 
 def main(argv=None):
-    global _EMITTED
+    global _EMITTED, _EMIT_DONE
     _EMITTED = threading.Lock()     # fresh exactly-once guard per run
+    _EMIT_DONE = threading.Event()
     argv = sys.argv[1:] if argv is None else argv
     _enable_compile_cache()
     details = {"methodology": (
@@ -507,10 +531,9 @@ def main(argv=None):
     # device tunnel hangs inside backend init or mid-section (both observed)
     probe = (lambda: time.sleep(1e9)) if "--selftest-hang" in argv else None
     backend_t = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
-    dev = _backend_alive(backend_t, _probe=probe)
+    dev, dev_err = _backend_alive(backend_t, _probe=probe)
     if dev is None:
-        details["error"] = (f"device backend unreachable within {backend_t:g}s "
-                            "(tunnel/relay hang during init) — no measurements")
+        details["error"] = f"{dev_err} — no measurements"
         _emit(details)
         os._exit(0)     # init thread may be wedged in native code; hard-exit
     details["device"] = dev
@@ -521,6 +544,7 @@ def main(argv=None):
         details["error"] = (f"watchdog: bench exceeded {deadline:g}s; "
                             "emitting completed sections only")
         _emit(details)
+        _EMIT_DONE.wait(60)   # if main won the emit race, let it finish
         os._exit(0)
 
     dog = threading.Timer(deadline, _on_deadline)

@@ -227,6 +227,49 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert not os.path.exists(p + ".tmp")
 
 
+def test_async_checkpoint_mirror_in_writer_and_error_surfacing(
+        tmp_path, monkeypatch):
+    """(1) mirror_best_to copies -best.model inside the background writer —
+    no join needed, file appears once the writer drains; (2) a background
+    write FAILURE re-raises at the next join point instead of vanishing in
+    the daemon thread (the reference's synchronous torch.save raises in
+    place; silence here would let AUTO_RESUME fall back to a stale epoch)."""
+    from vlbert_tpu.training import checkpoint as ckpt_lib
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    cfg = default_config("vqa")
+    cfg.TRAIN.OPTIMIZER = "AdamW"
+    tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+    state = TrainState(params={"params": params}, opt_state=tx.init(params),
+                       step=jnp.asarray(3, jnp.int32))
+    prefix = str(tmp_path / "m")
+    save_checkpoint(prefix, 1, state, async_write=True,
+                    mirror_best_to=prefix)
+    ckpt_lib.wait_for_pending_save()
+    best = f"{prefix}-best.model"
+    assert os.path.exists(best) and not os.path.exists(best + ".tmp")
+    restored, _ = load_checkpoint(best, state)
+    assert int(restored.step) == 3
+
+    # failure surfacing: make the background serialize blow up (ENOSPC
+    # stand-in; tests run as root, so permission tricks can't fail)
+    import flax.serialization as fser
+    real = fser.msgpack_serialize
+    monkeypatch.setattr(fser, "msgpack_serialize",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            OSError("No space left on device")))
+    save_checkpoint(prefix, 5, state, async_write=True)
+    with pytest.raises(RuntimeError, match="async checkpoint write"):
+        ckpt_lib.wait_for_pending_save()
+    assert not os.path.exists(f"{prefix}-0005.model")
+
+    # the error must not be sticky: next save/join works
+    monkeypatch.setattr(fser, "msgpack_serialize", real)
+    p2 = save_checkpoint(prefix, 2, state, async_write=True)
+    ckpt_lib.wait_for_pending_save()
+    assert os.path.exists(p2)
+
+
 def _tiny_vqa_setup(rng, grad_accum=1):
     cfg = default_config("vqa")
     cfg.MODULE = "ResNetVLBERT"

@@ -298,14 +298,16 @@ def train_net(args, config, task):
 
     def checkpoint_fn(st, epoch, extra_dict, is_best):
         if rank == 0:
-            path = ckpt_lib.save_checkpoint(model_prefix, epoch, st,
-                                            extra=extra_dict,
-                                            async_write=async_ckpt)
             # -best.model mirrors only the best-val epoch (ref checkpoint.py:
             # 10-25 keyed on validation_monitor.best_epoch); without
-            # validation, every save is "best" (nothing else to rank by)
-            if is_best or validation_fn is None:
-                ckpt_lib.mirror_best(model_prefix, path)
+            # validation, every save is "best" (nothing else to rank by).
+            # The mirror copy runs inside the async writer — mirroring must
+            # not force a join back to synchronous saves every epoch.
+            mirror = is_best or validation_fn is None
+            ckpt_lib.save_checkpoint(
+                model_prefix, epoch, st, extra=extra_dict,
+                async_write=async_ckpt,
+                mirror_best_to=model_prefix if mirror else None)
 
     writer = None
     if getattr(args, "log_dir", None) and rank == 0:
@@ -316,15 +318,25 @@ def train_net(args, config, task):
         except ImportError:
             logger.warning("tensorboard writer unavailable")
 
-    state = fit(model, config, task, train_loader, steps_per_epoch,
-                val_loader=val_loader, mesh=mesh, state=state, tx=tx,
-                checkpoint_fn=checkpoint_fn, validation_fn=validation_fn,
-                begin_epoch=begin_epoch, writer=writer,
-                profile_dir=getattr(args, "profile_dir", None),
-                best_val=extra.get("best_val"),
-                plateau_state=extra.get("plateau"),
-                sched=sched, base_lr=base_lr)
-    ckpt_lib.wait_for_pending_save()     # don't exit with an in-flight write
+    try:
+        state = fit(model, config, task, train_loader, steps_per_epoch,
+                    val_loader=val_loader, mesh=mesh, state=state, tx=tx,
+                    checkpoint_fn=checkpoint_fn, validation_fn=validation_fn,
+                    begin_epoch=begin_epoch, writer=writer,
+                    profile_dir=getattr(args, "profile_dir", None),
+                    best_val=extra.get("best_val"),
+                    plateau_state=extra.get("plateau"),
+                    sched=sched, base_lr=base_lr)
+    except BaseException:
+        # a crash mid-epoch must not abandon the daemon ckpt-writer — the
+        # just-saved checkpoint is what AUTO_RESUME needs after this very
+        # failure; join it, but never mask the original exception
+        try:
+            ckpt_lib.wait_for_pending_save()
+        except Exception:
+            logger.exception("async checkpoint write failed during unwind")
+        raise
+    ckpt_lib.wait_for_pending_save()     # surface in-flight write failures
     if writer is not None:
         writer.close()
     return state

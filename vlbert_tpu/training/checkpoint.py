@@ -23,19 +23,38 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 # at most one in-flight background writer (per process); every reader /
-# next writer joins it first, so async saves are invisible to callers
+# next writer joins it first, so async saves are invisible to callers —
+# except that a background write FAILURE surfaces at the next join point
+# (next save / mirror / load / end-of-fit) instead of immediately
 _pending_save: threading.Thread | None = None
+_pending_error: list = []
 
 
 def wait_for_pending_save():
-    """Join the in-flight async checkpoint write, if any."""
+    """Join the in-flight async checkpoint write; re-raise its failure.
+
+    The reference's synchronous torch.save raises in place; an async write
+    failure (ENOSPC, permissions) must not vanish into a daemon thread —
+    it is re-raised here, one join point after the fact.
+    """
     global _pending_save
     if _pending_save is not None:
         _pending_save.join()
         _pending_save = None
+    if _pending_error:
+        e = _pending_error.pop()
+        _pending_error.clear()
+        raise RuntimeError(f"async checkpoint write failed: {e!r}") from e
 
 
-def save_checkpoint(prefix, epoch, state, extra=None, async_write=False):
+def _atomic_copy(src, dst):
+    tmp = dst + ".tmp"
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dst)
+
+
+def save_checkpoint(prefix, epoch, state, extra=None, async_write=False,
+                    mirror_best_to=None):
     """Save params+opt_state+step (+extra dict) to {prefix}-{epoch:04d}.model.
 
     The device->host snapshot is always synchronous (the caller's next
@@ -46,7 +65,11 @@ def save_checkpoint(prefix, epoch, state, extra=None, async_write=False):
     background thread instead, overlapping the next epoch's compute.
     Writes go to a temp file + atomic os.replace either way, so a
     preemption mid-write can never leave a torn {epoch}.model for
-    AUTO_RESUME to trip over.
+    AUTO_RESUME to trip over. ``mirror_best_to`` additionally copies the
+    finished file to {mirror_best_to}-best.model INSIDE the writer (also
+    atomically), so best-epoch mirroring doesn't force a join. A failed
+    background write raises at the next join point (wait_for_pending_save /
+    next save / any load) rather than disappearing.
     """
     global _pending_save
     wait_for_pending_save()
@@ -66,10 +89,21 @@ def save_checkpoint(prefix, epoch, state, extra=None, async_write=False):
             f.write(flax.serialization.msgpack_serialize(payload))
         os.replace(tmp, path)
         logger.info("saved checkpoint %s", path)
+        if mirror_best_to is not None:
+            best = f"{mirror_best_to}-best.model"
+            _atomic_copy(path, best)
+            logger.info("mirrored best checkpoint to %s", best)
+
+    def guarded_write():
+        try:
+            write()
+        except BaseException as e:  # noqa: BLE001 — re-raised at next join
+            logger.exception("async checkpoint write failed for %s", path)
+            _pending_error.append(e)
 
     if async_write:
         _pending_save = threading.Thread(
-            target=write, name="ckpt-writer", daemon=True)
+            target=guarded_write, name="ckpt-writer", daemon=True)
         _pending_save.start()
     else:
         write()
@@ -79,7 +113,7 @@ def save_checkpoint(prefix, epoch, state, extra=None, async_write=False):
 def mirror_best(prefix, epoch_path):
     wait_for_pending_save()              # epoch_path may still be writing
     best = f"{prefix}-best.model"
-    shutil.copyfile(epoch_path, best)
+    _atomic_copy(epoch_path, best)       # -best.model can't be torn either
     logger.info("mirrored best checkpoint to %s", best)
     return best
 
