@@ -146,13 +146,17 @@ def _slope_time(run_k, k1=6, k2=18):
 
 def _staged_images(base_np, n):
     """n distinct uint8 image batches on device (~1 MB/img at 608px vs 4 MB
-    fp32 — the staging that OOM'd BENCH_r02)."""
+    fp32 — the staging that OOM'd BENCH_r02). Blocks until every transfer
+    lands: an in-flight host->device copy inside the timed slope windows
+    would scale with k and NOT cancel in (t2-t1)/(k2-k1)."""
     import jax
     import numpy as np
 
     base16 = base_np.astype(np.int16)
-    return [jax.device_put(((base16 + i) % 256).astype(np.uint8))
+    imgs = [jax.device_put(((base16 + i) % 256).astype(np.uint8))
             for i in range(n)]
+    jax.block_until_ready(imgs)
+    return imgs
 
 
 def fwd_bench(B=16, IMG=608, O=36, C=4, T=48, k1=6, k2=18):
@@ -445,17 +449,29 @@ def _backend_alive(timeout_s, _probe=None):
                   "(tunnel/relay hang during init)")
 
 
-_METRIC = ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
-           "36 boxes, 4x48 text, B=16; train/accum4/b16/large in details)")
+_METRIC_FMT = ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
+               "36 boxes, 4x48 text, B={b}; train/accum4/b16/large in "
+               "details)")
 _EMITTED = threading.Lock()  # exactly-one-JSON-line guard (watchdog races)
 _EMIT_DONE = threading.Event()  # set after the line is flushed
 
 
-def _emit(details):
+def _emit(details, error=None):
     """Compute the headline from whatever sections completed and print the
-    one JSON line. Safe to call from the watchdog thread mid-run."""
+    one JSON line. Safe to call from the watchdog thread mid-run.
+
+    ``error`` is applied only by the WINNER of the exactly-once race, so a
+    watchdog that fires just as a completed run emits can't stamp a bogus
+    deadline error onto a good line. The loser (main thread or watchdog)
+    BLOCKS until the winner's line is flushed — returning early would let
+    interpreter teardown (sys.exit after main) or os._exit (watchdog) kill
+    the winner mid-print, ending the process with zero JSON lines.
+    """
     if not _EMITTED.acquire(blocking=False):
+        _EMIT_DONE.wait(60)
         return
+    if error is not None:
+        details["error"] = error
     fwd = details.get("fwd", {})
     value = fwd.get("img_per_s")
     unit = "img/s"
@@ -483,11 +499,12 @@ def _emit(details):
     # the watchdog thread can call this while the main thread is still
     # inserting sections into `details`; a mid-resize json.dumps raises,
     # which must never cost us the line — retry, then degrade
+    metric = _METRIC_FMT.format(b=fwd.get("batch", 16))
     line = None
     for _ in range(3):
         try:
             line = json.dumps({
-                "metric": _METRIC,
+                "metric": metric,
                 "value": value,
                 "unit": unit,
                 "vs_baseline": vs_sol if vs_sol is not None else 0.0,
@@ -498,7 +515,7 @@ def _emit(details):
             continue
     if line is None:
         line = json.dumps({
-            "metric": _METRIC, "value": value, "unit": unit,
+            "metric": metric, "value": value, "unit": unit,
             "vs_baseline": vs_sol if vs_sol is not None else 0.0,
             "details": {"error": "emit raced a section update; "
                                  "partial details dropped"}})
@@ -533,17 +550,16 @@ def main(argv=None):
     backend_t = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
     dev, dev_err = _backend_alive(backend_t, _probe=probe)
     if dev is None:
-        details["error"] = f"{dev_err} — no measurements"
-        _emit(details)
+        _emit(details, error=f"{dev_err} — no measurements")
+        _EMIT_DONE.wait(60)
         os._exit(0)     # init thread may be wedged in native code; hard-exit
     details["device"] = dev
 
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "5400"))
 
     def _on_deadline():
-        details["error"] = (f"watchdog: bench exceeded {deadline:g}s; "
-                            "emitting completed sections only")
-        _emit(details)
+        _emit(details, error=(f"watchdog: bench exceeded {deadline:g}s; "
+                              "emitting completed sections only"))
         _EMIT_DONE.wait(60)   # if main won the emit race, let it finish
         os._exit(0)
 

@@ -192,12 +192,27 @@ def main():
     dl = DataLoader(ds, batch_size=8, collate_fn=collate, shuffle=True,
                     num_threads=4, num_workers=workers, prefetch=4)
     with mesh:
+        # pass 1 — UNPACED drain: the host's true sustained rate is
+        # imgs / wall with the consumer never sleeping. (A paced consumer
+        # lets workers run ahead during the sleep, and imgs/(t_wait+t_shard)
+        # then equals R*D/(D-R), so "sustained >= demand" would pass at
+        # R >= D/2 — half the real requirement.)
         it = iter(dl)
         first = shard_batch(next(it), mesh)          # warm pool + compile
         jax.block_until_ready([x for x in jax.tree_util.tree_leaves(first)
                                if x is not None][0])
-        t_wait = t_shard = 0.0
         imgs = 0
+        t0 = time.time()
+        for batch in it:
+            shard_batch(batch, mesh)
+            imgs += 8
+        sustained = imgs / max(time.time() - t0, 1e-9)
+
+        # pass 2 — PACED at the device budget: what Speedometer's
+        # Data-phase would report during a real run
+        it = iter(dl)
+        next(it)                                     # re-warm the pool
+        t_wait = t_shard = 0.0
         t_all = time.time()
         t0 = time.time()
         for batch in it:
@@ -205,12 +220,10 @@ def main():
             ts = time.time()
             shard_batch(batch, mesh)
             t_shard += time.time() - ts
-            imgs += 8
             time.sleep(budget_ms / 1e3 * 2)   # 8 imgs = 2 x B=4 steps
             t0 = time.time()
         total = time.time() - t_all
     dl.shutdown()
-    sustained = imgs / max(t_wait + t_shard, 1e-9)   # host-limited rate
     n_cpus = os.cpu_count() or 1
     out["feed_rate"] = {
         "workers": workers,

@@ -24,6 +24,7 @@ import numpy as np
 _WORKER_DS = None
 _WORKER_COLLATE = None
 _WORKER_SEED = 0
+_WORKER_LOADER_ID = 0
 
 
 def _reseed(obj, seed):

@@ -93,8 +93,8 @@ def make_lr_schedule(config, steps_per_epoch):
 
 # ------------------------------------------------------------- param groups
 
-def _path_str(path):
-    return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+from vlbert_tpu.utils.misc import path_str as _path_str  # noqa: E402 — one
+# rendering shared with the startup parameter table (utils/misc.py)
 
 
 def lr_mult_tree(params, lr_mult_rules):

@@ -18,14 +18,22 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def path_str(path):
+    """Canonical pytree-path -> 'a/b/c' name. The SAME rendering is used by
+    the optimizer's LR_MULT / trainable-mask matching (training/optim.py
+    imports this), so the startup table's names are exactly the names those
+    rules match against."""
+    return "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                    for p in path)
+
+
 def _rows(params, trainable):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     tflat = (jax.tree_util.tree_flatten_with_path(trainable)[0]
              if trainable is not None else None)
     rows = []
     for i, (path, leaf) in enumerate(flat):
-        name = "/".join(str(getattr(p, "key", getattr(p, "name", p)))
-                        for p in path)
+        name = path_str(path)
         is_trainable = bool(tflat[i][1]) if tflat is not None else True
         rows.append((name, str(np.dtype(leaf.dtype)), tuple(leaf.shape),
                      int(np.prod(leaf.shape, dtype=np.int64)), is_trainable))
