@@ -1119,6 +1119,32 @@ def test_bench_watchdog_deadline_emits_partial_json():
     assert d["details"].get("device")    # preflight succeeded first
 
 
+def test_profile_step_flag_plumbing(monkeypatch, capsys):
+    """tools/profile_step.py routes config flags to the bench function and
+    records the A/B variant (donation / masked-Adam) it actually ran."""
+    import json as _json
+
+    import bench
+    import tools.profile_step as ps
+
+    seen = {}
+
+    def fake_train_bench(**kw):
+        seen.update(kw)
+        return {"img_per_s": 1.0}
+
+    monkeypatch.setattr(bench, "train_bench", fake_train_bench)
+    monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
+    orig_jit = jax.jit        # --no-donate patches jax.jit process-globally
+    try:
+        rc = ps.main(["--b16", "--no-donate"])
+    finally:
+        jax.jit = orig_jit
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and seen["B"] == 16
+    assert out["variant"] == {"donate": False, "masked_adam": True}
+
+
 def test_batch_seed_mixes_loader_id():
     """Multitask sub-loaders share cfg.RNG_SEED and epoch; loader_id must
     decorrelate their augmentation/masking RNG streams even when two
