@@ -524,6 +524,56 @@ def _emit(details, error=None):
     _EMIT_DONE.set()
 
 
+def serve_bench(n_queries=40, max_text=64, max_boxes=108):
+    """Single-query VQA serving latency (p50/p90/p99) at base size over the
+    precomputed-feature path — BASELINE.json's 'p50 VQA query latency
+    tracked' headline item. Latency is timed through a full logits
+    device_get (what a real serving call pays; also the only reliable
+    barrier on this tunneled plugin)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlbert_tpu.engine.serve import VQAServer
+    from vlbert_tpu.models.task_modules import build_module
+    from vlbert_tpu.utils.config import load_config
+
+    cfg = load_config("vqa", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "cfgs/vqa/base_4x16G_fp32.yaml"))
+    model = build_module(cfg, "vqa", dtype=jnp.bfloat16)
+
+    class _Tok:  # synthetic tokenizer: serving latency is device-dominated
+        cls_id, sep_id, mask_id = 2, 3, 4
+
+        def tokenize(self, text):
+            return text.split()
+
+        def convert_tokens_to_ids(self, toks):
+            return [(hash(t) % 20000) + 10 for t in toks]
+
+    n_ans = int(cfg.DATASET.ANSWER_VOCAB_SIZE)
+    srv = VQAServer(model, None, _Tok(), [str(i) for i in range(n_ans)],
+                    max_text=max_text, max_boxes=max_boxes, feat_dim=2048)
+    rng = np.random.default_rng(0)
+    q0 = srv.preprocess("warm up query words", rng.uniform(0, 600, (36, 4)),
+                        rng.normal(size=(36, 2048)).astype(np.float32),
+                        800, 600)
+    init_rngs = {"params": jax.random.PRNGKey(0)}
+    params = jax.jit(lambda r: model.init(r, *q0, train=False))(init_rngs)
+    srv.params = params
+    queries = [(f"what color is object {i} in the photo",
+                rng.uniform(0, 600, (36, 4)),
+                rng.normal(size=(36, 2048)).astype(np.float32), 800, 600)
+               for i in range(n_queries)]
+    try:
+        r = srv.measure_latency(queries, warmup=5, fetch=True)
+    finally:
+        _free(params)
+    r["note"] = "batch-1, base VQA, precomputed features, incl host RTT"
+    return r
+
+
 def main(argv=None):
     global _EMITTED, _EMIT_DONE
     _EMITTED = threading.Lock()     # fresh exactly-once guard per run
@@ -612,6 +662,13 @@ def main(argv=None):
             dict(B=8, aux_B=8, k1=3, k2=9),
             dict(B=4, aux_B=4, k1=3, k2=7),
         ], "pretrain_step")
+
+    if "--serve" in argv:
+        # batch-1 VQA serving latency (BASELINE.json: p50 tracked)
+        details["serve_latency"] = _with_degrade(serve_bench, [
+            dict(n_queries=40),
+            dict(n_queries=12),
+        ], "serve_latency")
 
     dog.cancel()
     _emit(details)

@@ -55,15 +55,24 @@ class VQAServer:
         logits = np.asarray(jax.device_get(self._infer(self.params, *batch)))
         return self.answer_vocab[int(np.argmax(logits[0]))]
 
-    def measure_latency(self, queries, warmup=3):
-        """p50/p90/p99 ms over distinct preprocessed queries."""
+    def measure_latency(self, queries, warmup=3, fetch=False):
+        """p50/p90/p99 ms over distinct preprocessed queries.
+
+        ``fetch=True`` times through a full logits device_get instead of
+        block_until_ready — what a real serving call pays (and the only
+        reliable completion barrier on tunneled device plugins, where
+        block_until_ready has been observed returning early)."""
         batches = [self.preprocess(*q) for q in queries]
         for b in batches[:warmup]:
             jax.block_until_ready(self._infer(self.params, *b))
         lat = []
         for b in batches:
             t0 = time.perf_counter()
-            jax.block_until_ready(self._infer(self.params, *b))
+            out = self._infer(self.params, *b)
+            if fetch:
+                np.asarray(jax.device_get(out))
+            else:
+                jax.block_until_ready(out)
             lat.append((time.perf_counter() - t0) * 1e3)
         lat = np.asarray(lat)
         return {"p50_ms": float(np.percentile(lat, 50)),
