@@ -663,8 +663,9 @@ def main(argv=None):
             dict(B=4, aux_B=4, k1=3, k2=7),
         ], "pretrain_step")
 
-    if "--serve" in argv:
-        # batch-1 VQA serving latency (BASELINE.json: p50 tracked)
+    if not quick:
+        # batch-1 VQA serving latency (BASELINE.json: p50 tracked) — one
+        # compile + 40 queries, cheap enough to capture by default
         details["serve_latency"] = _with_degrade(serve_bench, [
             dict(n_queries=40),
             dict(n_queries=12),

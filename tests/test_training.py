@@ -1073,6 +1073,7 @@ def test_bench_main_always_emits_json(monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "fwd_bench", boom)
     monkeypatch.setattr(bench, "train_bench", boom)
+    monkeypatch.setattr(bench, "serve_bench", boom)
     monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
     rc = bench.main([])
     out = capsys.readouterr().out.strip().splitlines()[-1]
@@ -1080,7 +1081,7 @@ def test_bench_main_always_emits_json(monkeypatch, capsys):
     assert rc == 0
     assert d["value"] == 0.0
     for sec in ("fwd", "train_step", "train_step_accum4", "train_step_b16",
-                "train_step_large"):
+                "train_step_large", "serve_latency"):
         assert "error" in d["details"][sec], sec
 
 
