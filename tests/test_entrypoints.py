@@ -161,6 +161,21 @@ def test_train_net_with_grad_accumulation(tmp_path, monkeypatch):
     assert int(state.step) == 1
 
 
+def test_train_net_donate_state_off(tmp_path):
+    """TPU.DONATE_STATE=false runs the full driver without buffer donation
+    (the measured escape hatch for the masked-Adam x donation small-batch
+    interaction; see utils/config.py)."""
+    from vlbert_tpu.engine.train import train_net
+
+    data_dir, vocab_dir = _write_vqa_fixture(tmp_path, n=8)
+    cfg = _tiny_vqa_cfg(tmp_path, data_dir, vocab_dir)
+    cfg.TRAIN.END_EPOCH = 1
+    cfg.TPU.DONATE_STATE = False
+    args = types.SimpleNamespace(model_dir=str(tmp_path / "out"), log_dir=None)
+    state = train_net(args, cfg, "vqa")
+    assert int(state.step) >= 1
+
+
 def test_train_net_multitask_pretrain(tmp_path):
     """Multitask pretrain driver: CC + GeneralCorpus zipped loaders through
     train_net (list-DATASET config)."""

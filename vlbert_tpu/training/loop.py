@@ -246,7 +246,8 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
     train_step = make_train_step(model, tx, task, config, grad_accum)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    jit_step = jax.jit(train_step, donate_argnums=(0,),
+    donate = (0,) if config.TPU.get("DONATE_STATE", True) else ()
+    jit_step = jax.jit(train_step, donate_argnums=donate,
                        out_shardings=(rep, rep, rep))
     # commit the state's sharding BEFORE the first step: otherwise step 1's
     # (uncommitted) input signature differs from step 2's (committed output
