@@ -176,6 +176,25 @@ def test_train_net_donate_state_off(tmp_path):
     assert int(state.step) >= 1
 
 
+def test_train_net_fsdp_partition_mode(tmp_path):
+    """TPU.PARTITION_MODE=fsdp through the full driver: state sharded over
+    the 8-device data axis, checkpoint saved from sharded arrays, and
+    AUTO_RESUME restores into the sharded layout."""
+    from vlbert_tpu.engine.train import train_net
+
+    data_dir, vocab_dir = _write_vqa_fixture(tmp_path, n=8)
+    cfg = _tiny_vqa_cfg(tmp_path, data_dir, vocab_dir)
+    cfg.TRAIN.END_EPOCH = 1
+    cfg.TPU.PARTITION_MODE = "fsdp"
+    args = types.SimpleNamespace(model_dir=str(tmp_path / "out"), log_dir=None)
+    state = train_net(args, cfg, "vqa")
+    assert int(state.step) >= 1
+    # resume from the sharded-state checkpoint
+    cfg.TRAIN.END_EPOCH = 2
+    state2 = train_net(args, cfg, "vqa")
+    assert int(state2.step) > int(state.step)
+
+
 def test_train_net_multitask_pretrain(tmp_path):
     """Multitask pretrain driver: CC + GeneralCorpus zipped loaders through
     train_net (list-DATASET config)."""

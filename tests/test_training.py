@@ -1160,6 +1160,61 @@ def test_batch_seed_mixes_loader_id():
         s0, _batch_seed(7, 3, [0, 1], loader_id=0).generate_state(4))
 
 
+def test_fsdp_train_step_matches_dp(rng):
+    """TPU.PARTITION_MODE=fsdp: a full train step with params + Adam moments
+    sharded over the 'data' axis (ZeRO-style) matches the pure-DP step's
+    loss and updated params; big leaves actually shard, the step counter
+    and small leaves stay replicated."""
+    from vlbert_tpu.parallel.mesh import fsdp_sharding_rules
+    from vlbert_tpu.training.checkpoint import flatten_params
+
+    assert jax.device_count() == 8
+    cfg, m, batch = _tiny_vqa_setup(rng)
+    cfg.NETWORK.VLBERT.hidden_dropout_prob = 0.0
+    cfg.NETWORK.VLBERT.attention_probs_dropout_prob = 0.0
+    m = build_module(cfg, "vqa", dtype=jnp.float32)
+    state, tx, _, _lr = create_train_state(m, batch, cfg, steps_per_epoch=10)
+    step = make_train_step(m, tx, "vqa", cfg, grad_accum=1)
+    key = jax.random.PRNGKey(0)
+    mesh = make_mesh()
+    rep = replicated(mesh)
+
+    jit_dp = jax.jit(step, out_shardings=(rep, rep, rep))
+    with mesh:
+        s_dp, loss_dp, _ = jit_dp(state, shard_batch(batch, mesh), key)
+        loss_dp = float(loss_dp)
+        p_dp = jax.device_get(s_dp.params["params"])
+
+    rules = fsdp_sharding_rules(mesh, state, min_size=64)  # tiny model
+    n_sharded = sum(1 for s in jax.tree_util.tree_leaves(rules)
+                    if "data" in str(s.spec))
+    assert n_sharded >= 10, n_sharded            # params AND mirrored moments
+    flat_rules = jax.tree_util.tree_flatten_with_path(rules)[0]
+    step_specs = [s for p, s in flat_rules
+                  if "step" in "/".join(str(getattr(k, 'key', k)) for k in p)]
+    assert all("data" not in str(s.spec) for s in step_specs)
+
+    jit_f = jax.jit(step, out_shardings=(rules, rep, rep))
+    with mesh:
+        s_f = jax.device_put(state, rules)
+        s_f, loss_f, dm = jit_f(s_f, shard_batch(batch, mesh), key)
+        loss_f = float(loss_f)
+        # leaves really are distributed: some param shard is not on dev 0
+        some = [x for x in jax.tree_util.tree_leaves(s_f.params)
+                if hasattr(x, "sharding") and "data" in str(x.sharding.spec)]
+        assert some, "no FSDP-sharded leaf in the updated state"
+        p_f = jax.device_get(s_f.params["params"])
+
+    assert abs(loss_f - loss_dp) <= 1e-5 * max(1.0, abs(loss_dp)), \
+        (loss_f, loss_dp)
+    flat_dp, flat_f = flatten_params(p_dp), flatten_params(p_f)
+    assert flat_dp.keys() == flat_f.keys()
+    for k in flat_dp:
+        np.testing.assert_allclose(flat_f[k], flat_dp[k],
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    assert "grad_total_norm" in dm
+
+
 def test_model_parallel_train_step_matches_dp(rng):
     """A full TRAIN step (grads + clip + AdamW through TP-sharded params AND
     optimizer moments) on a 2-D (data=4, model=2) mesh matches the pure-DP

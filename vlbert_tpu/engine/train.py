@@ -297,17 +297,25 @@ def train_net(args, config, task):
     async_ckpt = bool(config.TPU.get("ASYNC_CHECKPOINT", True))
 
     def checkpoint_fn(st, epoch, extra_dict, is_best):
-        if rank == 0:
-            # -best.model mirrors only the best-val epoch (ref checkpoint.py:
-            # 10-25 keyed on validation_monitor.best_epoch); without
-            # validation, every save is "best" (nothing else to rank by).
-            # The mirror copy runs inside the async writer — mirroring must
-            # not force a join back to synchronous saves every epoch.
-            mirror = is_best or validation_fn is None
-            ckpt_lib.save_checkpoint(
-                model_prefix, epoch, st, extra=extra_dict,
-                async_write=async_ckpt,
-                mirror_best_to=model_prefix if mirror else None)
+        # under PARTITION_MODE=fsdp/tp on a multi-host mesh the snapshot is
+        # a COLLECTIVE gather — every rank must enter save_checkpoint; only
+        # rank 0 writes. Pure-DP state is fully addressable and nonzero
+        # ranks skip entirely (the reference's rank-0-saves semantics).
+        addressable = all(getattr(x, "is_fully_addressable", True)
+                          for x in jax.tree_util.tree_leaves(st.params))
+        if rank != 0 and addressable:
+            return
+        # -best.model mirrors only the best-val epoch (ref checkpoint.py:
+        # 10-25 keyed on validation_monitor.best_epoch); without
+        # validation, every save is "best" (nothing else to rank by).
+        # The mirror copy runs inside the async writer — mirroring must
+        # not force a join back to synchronous saves every epoch.
+        mirror = is_best or validation_fn is None
+        ckpt_lib.save_checkpoint(
+            model_prefix, epoch, st, extra=extra_dict,
+            async_write=async_ckpt,
+            mirror_best_to=model_prefix if mirror else None,
+            write=(rank == 0))
 
     writer = None
     if getattr(args, "log_dir", None) and rank == 0:

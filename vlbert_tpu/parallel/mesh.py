@@ -74,6 +74,45 @@ def shard_batch(batch, mesh, batch_dim=0):
     return jax.tree_util.tree_map(put, batch)
 
 
+def fsdp_sharding_rules(mesh, tree, min_size=2**13):
+    """ZeRO-3-style state sharding over the 'data' axis.
+
+    Every float leaf with >= min_size elements is sharded on its largest
+    'data'-divisible dimension; small or indivisible leaves (and scalars
+    like the step counter) stay replicated. Applied to the whole
+    TrainState, the Adam moments shard identically to their params (the
+    pytree paths mirror). XLA's partitioner inserts the all-gather before
+    each use and the reduce-scatter after the backward — no collectives in
+    user code (the "How to Scale Your Model" FSDP recipe).
+
+    Why: pure DP replicates params + fp32 Adam moments on every chip
+    (~4.5 GB for VL-BERT-large + AdamW); over a v5e-8 data axis FSDP cuts
+    that to ~0.6 GB/chip, freeing HBM for activations/batch. Compute is
+    unchanged — only where the state lives between steps.
+    """
+    dp = mesh.shape.get("data", 1)
+    rep = replicated(mesh)
+    if dp == 1:
+        return jax.tree_util.tree_map(lambda _: rep, tree)
+
+    def rule(_path, leaf):
+        shape = getattr(leaf, "shape", None)
+        if (shape is None or len(shape) == 0
+                or not jax.numpy.issubdtype(
+                    getattr(leaf, "dtype", np.int32), np.floating)
+                or int(np.prod(shape)) < min_size):
+            return rep
+        cands = [(ext, i) for i, ext in enumerate(shape) if ext % dp == 0]
+        if not cands:
+            return rep
+        _, dim = max(cands)
+        spec = [None] * len(shape)
+        spec[dim] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(rule, tree)
+
+
 def param_sharding_rules(mesh, params):
     """Sharding for the param tree (TP building block; the training loop
     itself runs pure DP — SURVEY §2.6 marks TP as an optional extra).

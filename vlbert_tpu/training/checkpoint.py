@@ -53,8 +53,26 @@ def _atomic_copy(src, dst):
     os.replace(tmp, dst)
 
 
+def _to_host(tree):
+    """device_get that also handles cross-host sharded state.
+
+    Under TPU.PARTITION_MODE=fsdp/tp on a multi-host mesh, a leaf's shards
+    live on other hosts' devices and plain device_get raises; gather them
+    first. The gather is COLLECTIVE: when state is not fully addressable,
+    every rank must call save_checkpoint (engine/train.py does, passing
+    write=rank==0 so only rank 0 touches the filesystem)."""
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(get, tree)
+
+
 def save_checkpoint(prefix, epoch, state, extra=None, async_write=False,
-                    mirror_best_to=None):
+                    mirror_best_to=None, write=True):
     """Save params+opt_state+step (+extra dict) to {prefix}-{epoch:04d}.model.
 
     The device->host snapshot is always synchronous (the caller's next
@@ -74,16 +92,18 @@ def save_checkpoint(prefix, epoch, state, extra=None, async_write=False,
     global _pending_save
     wait_for_pending_save()
     payload = {
-        "params": flax.serialization.to_state_dict(jax.device_get(state.params)),
+        "params": flax.serialization.to_state_dict(_to_host(state.params)),
         "opt_state": flax.serialization.to_state_dict(
-            jax.device_get(state.opt_state)),
+            _to_host(state.opt_state)),
         "step": int(state.step),
         "extra": extra or {},
     }
     path = f"{prefix}-{epoch:04d}.model"
+    if not write:          # non-writing rank: participated in the (possibly
+        return path        # collective) snapshot above; skip the filesystem
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
-    def write():
+    def _write_file():
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(flax.serialization.msgpack_serialize(payload))
@@ -94,19 +114,19 @@ def save_checkpoint(prefix, epoch, state, extra=None, async_write=False,
             _atomic_copy(path, best)
             logger.info("mirrored best checkpoint to %s", best)
 
-    def guarded_write():
+    def _guarded_write():
         try:
-            write()
+            _write_file()
         except BaseException as e:  # noqa: BLE001 — re-raised at next join
             logger.exception("async checkpoint write failed for %s", path)
             _pending_error.append(e)
 
     if async_write:
         _pending_save = threading.Thread(
-            target=guarded_write, name="ckpt-writer", daemon=True)
+            target=_guarded_write, name="ckpt-writer", daemon=True)
         _pending_save.start()
     else:
-        write()
+        _write_file()
     return path
 
 

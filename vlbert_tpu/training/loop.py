@@ -246,14 +246,33 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
     train_step = make_train_step(model, tx, task, config, grad_accum)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    # how the TrainState lives between steps: 'dp' replicates (reference
+    # semantics), 'tp' shards big matmul kernels over a 'model' mesh axis,
+    # 'fsdp' shards params + Adam moments over 'data' (ZeRO-style; frees
+    # ~dp x the state HBM for large configs). Compute is identical — XLA
+    # inserts the gathers/scatters.
+    pmode = str(config.TPU.get("PARTITION_MODE", "dp")).lower()
+    if pmode == "tp":
+        from vlbert_tpu.parallel.mesh import param_sharding_rules
+
+        state_sh = param_sharding_rules(mesh, state)
+    elif pmode == "fsdp":
+        from vlbert_tpu.parallel.mesh import fsdp_sharding_rules
+
+        state_sh = fsdp_sharding_rules(mesh, state)
+    elif pmode == "dp":
+        state_sh = rep
+    else:
+        raise ValueError(f"unknown TPU.PARTITION_MODE {pmode!r} "
+                         "(expected dp | tp | fsdp)")
     donate = (0,) if config.TPU.get("DONATE_STATE", True) else ()
     jit_step = jax.jit(train_step, donate_argnums=donate,
-                       out_shardings=(rep, rep, rep))
+                       out_shardings=(state_sh, rep, rep))
     # commit the state's sharding BEFORE the first step: otherwise step 1's
     # (uncommitted) input signature differs from step 2's (committed output
     # of step 1) and jit RECOMPILES the whole train step on step 2 — minutes
     # of wall-clock in this environment
-    state = jax.device_put(state, rep)
+    state = jax.device_put(state, state_sh)
 
     begin_epoch = config.TRAIN.BEGIN_EPOCH if begin_epoch is None else begin_epoch
     end_epoch = config.TRAIN.END_EPOCH if end_epoch is None else end_epoch

@@ -266,6 +266,12 @@ def _common_config():
     tp = c.TPU = AttrDict()
     tp.MESH_SHAPE = []           # e.g. [8] or [4, 2]; [] = all local devices on 'data'
     tp.MESH_AXES = ["data"]      # axis names; 2nd axis (if any) is 'model'
+    # how TrainState lives between steps: 'dp' replicates (reference
+    # semantics), 'tp' shards big kernels over a 'model' axis
+    # (param_sharding_rules), 'fsdp' shards params+Adam moments over 'data'
+    # (ZeRO-style, ~dp x less state HBM; fsdp_sharding_rules). Compute is
+    # identical — XLA inserts the gathers/scatters.
+    tp.PARTITION_MODE = "dp"
     tp.COMPUTE_DTYPE = "bfloat16"  # bf16 matmuls/convs; fp32 LN/softmax accumulation
     # (params are always fp32 — master weights; no PARAM_DTYPE knob)
     tp.MAX_TEXT_LEN = 64         # static text bucket
