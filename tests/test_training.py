@@ -1214,6 +1214,20 @@ def test_fsdp_train_step_matches_dp(rng):
                                    rtol=1e-4, atol=1e-6, err_msg=k)
     assert "grad_total_norm" in dm
 
+    # hybrid: on a (data=4, model=2) mesh, FSDP composes with the TP rules —
+    # big kernels carry BOTH axes; the step still matches pure DP
+    mesh_h = make_mesh([4, 2], ("data", "model"))
+    rules_h = fsdp_sharding_rules(mesh_h, state, min_size=64)
+    both = [s for s in jax.tree_util.tree_leaves(rules_h)
+            if "model" in str(s.spec) and "data" in str(s.spec)]
+    assert both, "no leaf sharded on both mesh axes"
+    rep_h = replicated(mesh_h)
+    jit_h = jax.jit(step, out_shardings=(rules_h, rep_h, rep_h))
+    with mesh_h:
+        s_h = jax.device_put(state, rules_h)
+        _, loss_h, _ = jit_h(s_h, shard_batch(batch, mesh_h), key)
+    assert abs(float(loss_h) - loss_dp) <= 1e-5 * max(1.0, abs(loss_dp))
+
 
 def test_model_parallel_train_step_matches_dp(rng):
     """A full TRAIN step (grads + clip + AdamW through TP-sharded params AND

@@ -85,6 +85,11 @@ def fsdp_sharding_rules(mesh, tree, min_size=2**13):
     each use and the reduce-scatter after the backward — no collectives in
     user code (the "How to Scale Your Model" FSDP recipe).
 
+    On a 2-D (data, model) mesh this composes with tensor parallelism:
+    big kernels first take param_sharding_rules' 'model' placement, then
+    FSDP claims the largest still-unsharded divisible dim for 'data' —
+    the standard TP-within / FSDP-across hybrid.
+
     Why: pure DP replicates params + fp32 Adam moments on every chip
     (~4.5 GB for VL-BERT-large + AdamW); over a v5e-8 data axis FSDP cuts
     that to ~0.6 GB/chip, freeing HBM for activations/batch. Compute is
@@ -92,25 +97,27 @@ def fsdp_sharding_rules(mesh, tree, min_size=2**13):
     """
     dp = mesh.shape.get("data", 1)
     rep = replicated(mesh)
+    base = param_sharding_rules(mesh, tree)   # 'model' placement (or rep)
     if dp == 1:
-        return jax.tree_util.tree_map(lambda _: rep, tree)
+        return base
 
-    def rule(_path, leaf):
+    def rule(_path, leaf, tp_sh):
         shape = getattr(leaf, "shape", None)
         if (shape is None or len(shape) == 0
                 or not jax.numpy.issubdtype(
                     getattr(leaf, "dtype", np.int32), np.floating)
                 or int(np.prod(shape)) < min_size):
-            return rep
-        cands = [(ext, i) for i, ext in enumerate(shape) if ext % dp == 0]
+            return tp_sh
+        spec = list(tp_sh.spec) + [None] * (len(shape) - len(tp_sh.spec))
+        cands = [(ext, i) for i, ext in enumerate(shape)
+                 if spec[i] is None and ext % dp == 0]
         if not cands:
-            return rep
+            return tp_sh
         _, dim = max(cands)
-        spec = [None] * len(shape)
         spec[dim] = "data"
         return NamedSharding(mesh, P(*spec))
 
-    return jax.tree_util.tree_map_with_path(rule, tree)
+    return jax.tree_util.tree_map_with_path(rule, tree, base)
 
 
 def param_sharding_rules(mesh, params):
