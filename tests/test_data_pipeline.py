@@ -56,6 +56,38 @@ def test_tokenizer_parity_with_transformers(vocab_file, tok):
     assert ids_ours == ids_hf
 
 
+def test_native_tokenizer_parity_fuzz(vocab_file):
+    """native/wordpiece.cc (ASCII fast path) is token-for-token identical to
+    the pure-Python reference-parity path: targeted edges (never_split,
+    100-char cap, controls, tabs, punctuation runs) + 1500 random ASCII
+    strings; non-ASCII routes to the Python path transparently."""
+    import random
+    import string
+
+    tok_n = BertTokenizer(vocab_file)
+    tok_p = BertTokenizer(vocab_file, native=False)
+    if tok_n._native is None:
+        pytest.skip("native toolchain unavailable")
+
+    rng = random.Random(0)
+    alphabet = string.ascii_letters + string.digits + string.punctuation \
+        + " \t\n"
+    cases = [
+        "The cat sat, unaffable!", "hello   world", "", "   ", "a,b!c",
+        "[MASK] the [SEP]cat", "[mask] lowercase is not special",
+        "x" * 101, "x" * 100, "ctrl\x01char", "tab\tsep", "naïve café",
+        "mixed ascii ünïcode",
+    ]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+              for _ in range(1500)]
+    for c in cases:
+        assert tok_n.tokenize(c) == tok_p.tokenize(c), repr(c)
+    # ids round-trip agrees too
+    ids_n = tok_n.convert_tokens_to_ids(tok_n.tokenize(cases[0]))
+    ids_p = tok_p.convert_tokens_to_ids(tok_p.tokenize(cases[0]))
+    assert ids_n == ids_p
+
+
 def test_wwm_masking_semantics(tok):
     rng = np.random.default_rng(0)
     words = ["the", "cat", "sat", "on", "the", "mat"] * 50

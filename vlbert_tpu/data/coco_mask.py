@@ -22,48 +22,18 @@ def _load_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    here = os.path.dirname(os.path.abspath(__file__))
-    native_dir = os.path.join(here, "..", "..", "native")
-    candidates = [
-        os.path.join(native_dir, "libmaskapi.so"),
-        os.path.join(here, "libmaskapi.so"),
-    ]
-    if not any(os.path.exists(c) for c in candidates) \
-            and os.path.exists(os.path.join(native_dir, "Makefile")):
-        import subprocess
+    from vlbert_tpu.data.native_build import load_native_lib
 
-        # serialize the auto-build: N loader workers touching this module
-        # concurrently must not run parallel `make`s rewriting the .so one
-        # of them is about to dlopen
-        lock_path = os.path.join(native_dir, ".build.lock")
-        try:
-            import fcntl
-
-            with open(lock_path, "w") as lock_f:
-                fcntl.flock(lock_f, fcntl.LOCK_EX)
-                if not any(os.path.exists(c) for c in candidates):
-                    proc = subprocess.run(["make", "-C", native_dir],
-                                          check=False, capture_output=True,
-                                          text=True)
-                    if proc.returncode != 0:
-                        import logging
-
-                        logging.getLogger(__name__).warning(
-                            "native maskapi build failed (numpy fallbacks "
-                            "will be used):\n%s", proc.stderr[-2000:])
-        except OSError:
-            pass  # read-only tree: rely on a prebuilt .so or fallbacks
-    for c in candidates:
-        if os.path.exists(c):
-            lib = ctypes.CDLL(c)
-            lib.rle_decode.restype = ctypes.c_int
-            lib.rle_encode.restype = ctypes.c_int
-            lib.rle_to_bbox.restype = None
-            lib.rle_area.restype = ctypes.c_uint64
-            lib.rle_iou.restype = ctypes.c_double
-            lib.rle_from_poly.restype = ctypes.c_int
-            _LIB = lib
-            return lib
+    lib = load_native_lib("libmaskapi.so")
+    if lib is not None:
+        lib.rle_decode.restype = ctypes.c_int
+        lib.rle_encode.restype = ctypes.c_int
+        lib.rle_to_bbox.restype = None
+        lib.rle_area.restype = ctypes.c_uint64
+        lib.rle_iou.restype = ctypes.c_double
+        lib.rle_from_poly.restype = ctypes.c_int
+        _LIB = lib
+        return lib
     _LIB = False
     return False
 

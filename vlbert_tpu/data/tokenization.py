@@ -171,21 +171,57 @@ class BertTokenizer:
     """ref tokenization.py:74-154."""
 
     def __init__(self, vocab_file, do_lower_case=True, do_basic_tokenize=True,
-                 never_split=("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]")):
+                 never_split=("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]"),
+                 native=True):
         self.vocab = load_vocab(vocab_file)
         self.ids_to_tokens = {v: k for k, v in self.vocab.items()}
         self.do_basic_tokenize = do_basic_tokenize
         if do_basic_tokenize:
             self.basic_tokenizer = BasicTokenizer(do_lower_case, never_split)
         self.wordpiece_tokenizer = WordpieceTokenizer(self.vocab)
+        # ASCII fast path: basic+wordpiece fused in C (native/wordpiece.cc),
+        # token-for-token identical for pure-ASCII text; non-ASCII texts
+        # (and non-default never_split) take the Python path below
+        self._native = None
+        if (native and do_basic_tokenize
+                and tuple(never_split) == ("[UNK]", "[SEP]", "[PAD]",
+                                           "[CLS]", "[MASK]")):
+            try:
+                from vlbert_tpu.data.native_tokenizer import (
+                    NativeBertTokenizer)
+
+                self._native = NativeBertTokenizer(self.vocab, do_lower_case)
+            except Exception:   # no toolchain / read-only tree: Python path
+                self._native = None
+        # text-level memo: datasets re-tokenize the same words/short phrases
+        # constantly (VCR per-word alignment); a dict hit beats BOTH paths
+        # (the ctypes call included). Bounded; long texts aren't cached.
+        self._text_cache = {}
 
     def tokenize(self, text):
         if self.do_basic_tokenize:
-            toks = []
-            for t in self.basic_tokenizer.tokenize(text):
-                toks.extend(self.wordpiece_tokenizer.tokenize(t))
+            hit = self._text_cache.get(text)
+            if hit is not None:
+                return list(hit)
+            if self._native is not None:
+                ids = self._native.tokenize_ids(text)
+                if ids is not None:
+                    i2t = self.ids_to_tokens
+                    toks = [i2t[i] for i in ids]
+                else:
+                    toks = self._py_tokenize(text)
+            else:
+                toks = self._py_tokenize(text)
+            if len(text) < 256 and len(self._text_cache) < 200000:
+                self._text_cache[text] = tuple(toks)
             return toks
         return self.wordpiece_tokenizer.tokenize(text)
+
+    def _py_tokenize(self, text):
+        toks = []
+        for t in self.basic_tokenizer.tokenize(text):
+            toks.extend(self.wordpiece_tokenizer.tokenize(t))
+        return toks
 
     def convert_tokens_to_ids(self, tokens):
         return [self.vocab.get(t, self.vocab.get("[UNK]", 0)) for t in tokens]
