@@ -18,7 +18,9 @@
 // ctypes ABI (no pybind11 in this image):
 //   void*  wp_new(const char* vocab_blob, int do_lower,
 //                 const char* unk_token, int max_chars)
-//     vocab_blob: '\n'-joined tokens, id = line index (load_vocab order)
+//     vocab_blob: '\n'-joined "token\tid" pairs (explicit ids: a vocab
+//     file with duplicate lines leaves id gaps — Python's load_vocab is
+//     last-wins — so line order alone cannot reproduce the mapping)
 //   void   wp_free(void* h)
 //   int    wp_tokenize(void* h, const char* text, int32_t* out, int cap)
 //     returns #ids written; -(needed) if cap too small (caller retries);
@@ -96,19 +98,24 @@ void* wp_new(const char* vocab_blob, int do_lower, const char* unk_token,
   auto* t = new Tok;
   t->lower = do_lower != 0;
   t->max_chars = max_chars;
-  int32_t id = 0;
   const char* p = vocab_blob;
   while (p && *p) {
     const char* nl = strchr(p, '\n');
     size_t len = nl ? (size_t)(nl - p) : strlen(p);
-    // assignment (not emplace): last occurrence wins on malformed
-    // duplicate vocab lines, matching Python's dict semantics
-    t->vocab[std::string(p, len)] = id++;
+    const char* tab = (const char*)memchr(p, '\t', len);
+    if (tab) {
+      int32_t id = (int32_t)strtol(tab + 1, nullptr, 10);
+      t->vocab[std::string(p, (size_t)(tab - p))] = id;
+    }
     if (!nl) break;
     p = nl + 1;
   }
   auto it = t->vocab.find(unk_token);
-  t->unk_id = (it == t->vocab.end()) ? 0 : it->second;
+  if (it == t->vocab.end()) {  // wrapper refuses to build in this case;
+    delete t;                  // belt-and-braces: fail loudly, not id 0
+    return nullptr;
+  }
+  t->unk_id = it->second;
   return t;
 }
 

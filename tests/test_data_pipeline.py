@@ -88,6 +88,31 @@ def test_native_tokenizer_parity_fuzz(vocab_file):
     assert ids_n == ids_p
 
 
+def test_native_tokenizer_dup_vocab_and_missing_unk(tmp_path):
+    """Review-pass regressions: (1) duplicate vocab lines give last-wins ids
+    WITH GAPS (load_vocab semantics) — the native blob must carry explicit
+    ids, not line order; (2) a vocab without [UNK] cannot be mirrored by the
+    native path (Python emits the literal string) — it must refuse and the
+    wrapper must fall back."""
+    p = tmp_path / "dup.txt"
+    p.write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                            "the", "cat", "sat", "cat", "dog"]))
+    tn = BertTokenizer(str(p))
+    tp_ = BertTokenizer(str(p), native=False)
+    if tn._native is None:
+        pytest.skip("native toolchain unavailable")
+    for t in ["the dog sat", "sat", "cat dog"]:
+        assert tn.tokenize(t) == tp_.tokenize(t), t
+        assert (tn.convert_tokens_to_ids(tn.tokenize(t))
+                == tp_.convert_tokens_to_ids(tp_.tokenize(t)))
+
+    p2 = tmp_path / "nounk.txt"
+    p2.write_text("\n".join(["[PAD]", "the", "cat"]))
+    tn2 = BertTokenizer(str(p2))
+    assert tn2._native is None          # refused -> pure Python path
+    assert tn2.tokenize("the zebra") == ["the", "[UNK]"]
+
+
 def test_wwm_masking_semantics(tok):
     rng = np.random.default_rng(0)
     words = ["the", "cat", "sat", "on", "the", "mat"] * 50

@@ -1229,6 +1229,20 @@ def test_fsdp_train_step_matches_dp(rng):
     assert abs(float(loss_h) - loss_dp) <= 1e-5 * max(1.0, abs(loss_dp))
 
 
+def test_partition_mode_tp_requires_model_axis(rng):
+    """PARTITION_MODE=tp on a data-only mesh must raise, not silently run
+    pure DP (review-pass finding)."""
+    from vlbert_tpu.training.loop import fit
+
+    cfg, m, batch = _tiny_vqa_setup(rng)
+    cfg.TPU.PARTITION_MODE = "tp"
+    state, tx, sched, base_lr = create_train_state(m, batch, cfg,
+                                                   steps_per_epoch=2)
+    with pytest.raises(ValueError, match="model.*mesh axis"):
+        fit(m, cfg, "vqa", [batch], steps_per_epoch=1,
+            state=state, tx=tx, sched=sched, base_lr=base_lr)
+
+
 def test_model_parallel_train_step_matches_dp(rng):
     """A full TRAIN step (grads + clip + AdamW through TP-sharded params AND
     optimizer moments) on a 2-D (data=4, model=2) mesh matches the pure-DP

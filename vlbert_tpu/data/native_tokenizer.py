@@ -45,9 +45,18 @@ class NativeBertTokenizer:
 
     def __init__(self, vocab, do_lower_case, unk_token="[UNK]",
                  max_chars=100):
-        # the blob preserves load_vocab's id=line-index order; the C++ map
-        # mirrors Python dict last-wins on (malformed) duplicate tokens
-        self._blob = "\n".join(vocab.keys())
+        if unk_token not in vocab:
+            # the Python path emits the literal unk STRING for unmatched
+            # words even when it's not in the vocab; ids can't express that
+            raise RuntimeError(f"{unk_token!r} not in vocab; native path "
+                               "cannot mirror the Python fallback")
+        # explicit token->id pairs: a vocab file with duplicate lines gives
+        # last-wins ids WITH GAPS in Python's load_vocab; a bare line blob
+        # cannot reproduce that. Tokens containing tab/newline can't be
+        # round-tripped (and can never match whitespace-split input) — skip.
+        self._blob = "\n".join(
+            f"{tok}\t{tid}" for tok, tid in vocab.items()
+            if "\t" not in tok and "\n" not in tok)
         self._lower = bool(do_lower_case)
         self._unk = unk_token
         self._max_chars = max_chars
@@ -62,6 +71,8 @@ class NativeBertTokenizer:
                                    int(self._lower),
                                    self._unk.encode("utf-8"),
                                    self._max_chars)
+        if not self._h:
+            raise RuntimeError("wp_new rejected the vocab (unk missing)")
         self._tls = threading.local()
 
     def __getstate__(self):

@@ -299,11 +299,11 @@ def train_net(args, config, task):
     def checkpoint_fn(st, epoch, extra_dict, is_best):
         # under PARTITION_MODE=fsdp/tp on a multi-host mesh the snapshot is
         # a COLLECTIVE gather — every rank must enter save_checkpoint; only
-        # rank 0 writes. Pure-DP state is fully addressable and nonzero
-        # ranks skip entirely (the reference's rank-0-saves semantics).
-        addressable = all(getattr(x, "is_fully_addressable", True)
-                          for x in jax.tree_util.tree_leaves(st.params))
-        if rank != 0 and addressable:
+        # rank 0 writes. Pure-DP state (fully addressable OR fully
+        # replicated — multi-host replicated arrays read from the local
+        # shard) lets nonzero ranks skip entirely, the reference's
+        # rank-0-saves semantics.
+        if rank != 0 and not ckpt_lib.snapshot_needs_all_ranks(st):
             return
         # -best.model mirrors only the best-val epoch (ref checkpoint.py:
         # 10-25 keyed on validation_monitor.best_epoch); without

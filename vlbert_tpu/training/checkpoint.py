@@ -62,13 +62,25 @@ def _to_host(tree):
     every rank must call save_checkpoint (engine/train.py does, passing
     write=rank==0 so only rank 0 touches the filesystem)."""
     def get(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
             from jax.experimental import multihost_utils
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        # fully-replicated multi-host arrays read from the local shard —
+        # no collective needed (the multi-host pure-DP case)
         return jax.device_get(x)
 
     return jax.tree_util.tree_map(get, tree)
+
+
+def snapshot_needs_all_ranks(tree):
+    """True when a checkpoint snapshot of ``tree`` requires a collective
+    gather (some leaf is sharded across hosts and not fully replicated) —
+    in that case every rank must enter save_checkpoint."""
+    return any(isinstance(x, jax.Array) and not x.is_fully_addressable
+               and not x.is_fully_replicated
+               for x in jax.tree_util.tree_leaves(tree))
 
 
 def save_checkpoint(prefix, epoch, state, extra=None, async_write=False,

@@ -255,6 +255,12 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
     if pmode == "tp":
         from vlbert_tpu.parallel.mesh import param_sharding_rules
 
+        if mesh.shape.get("model", 1) <= 1:
+            raise ValueError(
+                "TPU.PARTITION_MODE=tp needs a 'model' mesh axis > 1 "
+                f"(mesh is {dict(mesh.shape)}); set TPU.MESH_SHAPE, e.g. "
+                "[4, 2], and TPU.MESH_AXES: [data, model] — otherwise "
+                "training would silently run pure DP")
         state_sh = param_sharding_rules(mesh, state)
     elif pmode == "fsdp":
         from vlbert_tpu.parallel.mesh import fsdp_sharding_rules
