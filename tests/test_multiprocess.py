@@ -131,22 +131,31 @@ cfg = _tiny_vqa_cfg(pathlib.Path(out_root), data_dir, vocab_dir)
 cfg.OUTPUT_PATH = out_root
 cfg.TRAIN.END_EPOCH = 1
 cfg.TRAIN.BATCH_IMAGES = 2       # x2 local devices x2 hosts = 8 global
+cfg.TPU.PARTITION_MODE = os.environ.get("VLBERT_PMODE", "dp")
 args = types.SimpleNamespace(model_dir=out_root, log_dir=None)
 state = train_net(args, cfg, "vqa")
 
 import numpy as np
-from vlbert_tpu.training.checkpoint import flatten_params
-flat = flatten_params(jax.device_get(state.params["params"]))
+from vlbert_tpu.training.checkpoint import flatten_params, _to_host
+# _to_host gathers cross-host FSDP shards (collective; both ranks here)
+flat = flatten_params(_to_host(state.params["params"]))
 digest = float(sum(np.float64(np.sum(np.float64(v))) for v in flat.values()))
 print(f"RESULT {proc_id} {int(state.step)} {digest:.10e}", flush=True)
 """
 
 
-def test_two_process_train_net(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("pmode", ["dp", "fsdp"])
+def test_two_process_train_net(tmp_path, pmode):
     """The PRODUCTION driver end-to-end on 2 processes: per-host loader
     shards, multiprocess global-batch assembly inside fit(), collective
     validation, rank-0 checkpointing — params must be bit-identical on both
-    hosts afterwards."""
+    hosts afterwards. pmode=fsdp additionally shards the TrainState across
+    the two PROCESSES (leaves not fully addressable), exercising the
+    collective checkpoint snapshot (snapshot_needs_all_ranks ->
+    process_allgather on every rank, write on rank 0)."""
     from tests.test_entrypoints import _write_vqa_fixture
 
     _write_vqa_fixture(tmp_path, n=16)
@@ -162,6 +171,7 @@ def test_two_process_train_net(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["VLBERT_REPO"] = repo
+    env["VLBERT_PMODE"] = pmode
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
     out_root = tmp_path / "out"
