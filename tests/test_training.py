@@ -89,10 +89,13 @@ def test_lr_mult_and_trainable_mask():
 
 
 def test_frozen_params_carry_no_moment_state():
-    """The reference builds its optimizer over requires_grad=True params only
-    (ref vcr/function/train.py:125-135) — frozen leaves must carry NO Adam
-    moment arrays here either (optax.MaskedNode), both for parity and so
-    ~25M frozen params don't cost fp32 (m, v) HBM + per-step updates."""
+    """TPU.MASKED_OPT_STATE=true: frozen leaves carry NO Adam moment arrays
+    (optax.MaskedNode), matching the reference's requires_grad=True-only
+    optimizer (ref vcr/function/train.py:125-135) in STATE layout too, so
+    ~25M frozen params don't cost fp32 (m, v) HBM. Opt-in since the v5e
+    donation A/B (see utils/config.py); update masking — the part that
+    determines trained values — holds under both settings
+    (test_dense_moments_default below)."""
     import optax
 
     params = {
@@ -104,6 +107,7 @@ def test_frozen_params_carry_no_moment_state():
     cfg.NETWORK.IMAGE_FROZEN_BACKBONE_STAGES = [1, 2]
     cfg.NETWORK.VLBERT.word_embedding_frozen = True
     cfg.TRAIN.OPTIMIZER = "AdamW"
+    cfg.TPU.MASKED_OPT_STATE = True
     tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
     opt_state = tx.init(params)
 
@@ -137,6 +141,55 @@ def test_frozen_params_carry_no_moment_state():
                               params["backbone"]["layer3"]["conv1"]["kernel"])
 
 
+def test_dense_moments_default_matches_masked_updates():
+    """Default (TPU.MASKED_OPT_STATE=false): moments are dense — no
+    MaskedNode anywhere — yet one update step produces BIT-IDENTICAL new
+    params to the masked mode: frozen leaves untouched, trainable leaves
+    moved identically. This is the invariant that made flipping the
+    default a pure perf decision (v5e A/B: 37.0 vs 80.8 ms at B=4 under
+    donation; see utils/config.py)."""
+    import optax
+
+    params = {
+        "backbone": {"conv1": {"kernel": np.ones((3,), np.float32)},
+                     "layer3": {"conv1": {"kernel": np.ones(3, np.float32)}}},
+        "vlbert": {"word_embeddings": {"embedding": np.ones((5, 2), np.float32)}},
+    }
+    cfg = default_config("vcr")
+    cfg.NETWORK.IMAGE_FROZEN_BACKBONE_STAGES = [1, 2]
+    cfg.NETWORK.VLBERT.word_embedding_frozen = True
+    cfg.TRAIN.OPTIMIZER = "AdamW"
+    assert cfg.TPU.MASKED_OPT_STATE is False          # the shipped default
+
+    grads = jax.tree_util.tree_map(lambda p: np.ones_like(p), params)
+
+    def one_step(masked):
+        c = default_config("vcr")
+        c.NETWORK.IMAGE_FROZEN_BACKBONE_STAGES = [1, 2]
+        c.NETWORK.VLBERT.word_embedding_frozen = True
+        c.TRAIN.OPTIMIZER = "AdamW"
+        c.TPU.MASKED_OPT_STATE = masked
+        tx, _, _ = make_optimizer(c, params, steps_per_epoch=10)
+        st = tx.init(params)
+        if not masked:       # dense mode: every param leaf has mu+nu arrays
+            assert not any(isinstance(x, optax.MaskedNode)
+                           for x in jax.tree_util.tree_leaves(
+                               st, is_leaf=lambda x: isinstance(
+                                   x, optax.MaskedNode)))
+        updates, _ = tx.update(grads, st, params)
+        return optax.apply_updates(params, updates)
+
+    dense, masked = one_step(False), one_step(True)
+    flat_d = jax.tree_util.tree_leaves(dense)
+    flat_m = jax.tree_util.tree_leaves(masked)
+    for d, m in zip(flat_d, flat_m):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(m))
+    np.testing.assert_array_equal(dense["backbone"]["conv1"]["kernel"],
+                                  params["backbone"]["conv1"]["kernel"])
+    assert not np.array_equal(dense["backbone"]["layer3"]["conv1"]["kernel"],
+                              params["backbone"]["layer3"]["conv1"]["kernel"])
+
+
 def test_pre_masked_opt_state_checkpoint_restores(tmp_path):
     """Checkpoints saved before the masked-moments change (round 2: full
     (mu, nu) for every leaf, no MaskedState level) must still restore —
@@ -154,6 +207,7 @@ def test_pre_masked_opt_state_checkpoint_restores(tmp_path):
     cfg = default_config("vcr")
     cfg.NETWORK.IMAGE_FROZEN_BACKBONE_STAGES = [1, 2]
     cfg.TRAIN.OPTIMIZER = "AdamW"
+    cfg.TPU.MASKED_OPT_STATE = True
     tx, _, _ = make_optimizer(cfg, params, steps_per_epoch=10)
     opt_state = tx.init(params)
     state = TrainState(params={"params": params}, opt_state=opt_state,
@@ -201,6 +255,78 @@ def test_pre_masked_opt_state_checkpoint_restores(tmp_path):
     vals = [np.asarray(x) for x in jax.tree_util.tree_leaves(restored.opt_state)
             if getattr(x, "shape", None) == (3,)]
     assert vals and all(np.allclose(v, 7.0) for v in vals)
+
+
+def test_masked_opt_state_checkpoint_restores_onto_dense(tmp_path):
+    """The reverse migration: a checkpoint saved while
+    TPU.MASKED_OPT_STATE=true (MaskedState inner_state level, frozen
+    leaves as empty MaskedNode dicts) must restore onto today's dense
+    default — inner_state stripped, trainable moments landing intact,
+    frozen-leaf moments keeping the target's zeros init (exactly what a
+    dense run would have accumulated, since frozen grads are zero)."""
+    import flax.serialization
+    import optax
+
+    from vlbert_tpu.training.checkpoint import load_checkpoint
+
+    params = {
+        "backbone": {"conv1": {"kernel": np.ones((3,), np.float32)},
+                     "layer3": {"conv1": {"kernel": np.ones(3, np.float32)}}},
+    }
+
+    def build(masked):
+        c = default_config("vcr")
+        c.NETWORK.IMAGE_FROZEN_BACKBONE_STAGES = [1, 2]
+        c.TRAIN.OPTIMIZER = "AdamW"
+        c.TPU.MASKED_OPT_STATE = masked
+        tx, _, _ = make_optimizer(c, params, steps_per_epoch=10)
+        return TrainState(params={"params": params},
+                          opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    masked_state = build(True)
+
+    # mark the trainable layer3 moments so we can watch them survive
+    def mark(x):
+        if getattr(x, "shape", None) == (3,):
+            return np.full((3,), 7.0, np.float32)
+        return x
+
+    masked_sd = jax.tree_util.tree_map(
+        mark, flax.serialization.to_state_dict(masked_state.opt_state))
+    payload = {
+        "params": flax.serialization.to_state_dict({"params": params}),
+        "opt_state": masked_sd,
+        "step": 9,
+        "extra": {},
+    }
+    path = tmp_path / "masked-0000.model"
+    path.write_bytes(flax.serialization.msgpack_serialize(payload))
+
+    dense_state = build(False)
+    restored, _ = load_checkpoint(str(path), dense_state)
+    assert int(restored.step) == 9
+    assert not any(isinstance(x, optax.MaskedNode)
+                   for x in jax.tree_util.tree_leaves(
+                       restored.opt_state, is_leaf=lambda x: isinstance(
+                           x, optax.MaskedNode)))
+    # the marked trainable moments survived; frozen conv1 moments are the
+    # zeros init (the masked checkpoint never stored them)
+    sd = flax.serialization.to_state_dict(restored.opt_state)
+    flat = jax.tree_util.tree_flatten_with_path(sd)[0]
+    saw_marked = saw_frozen_zero = False
+    for kp, v in flat:
+        ks = jax.tree_util.keystr(kp)
+        if getattr(v, "shape", None) != (3,):
+            continue
+        if "mu" in ks or "nu" in ks:
+            if "layer3" in ks:
+                assert np.allclose(np.asarray(v), 7.0), ks
+                saw_marked = True
+            elif "conv1" in ks:
+                assert np.allclose(np.asarray(v), 0.0), ks
+                saw_frozen_zero = True
+    assert saw_marked and saw_frozen_zero
 
 
 def test_async_checkpoint_roundtrip(tmp_path):
@@ -1143,7 +1269,8 @@ def test_profile_step_flag_plumbing(monkeypatch, capsys):
         jax.jit = orig_jit
     out = _json.loads(capsys.readouterr().out.strip())
     assert rc == 0 and seen["B"] == 16
-    assert out["variant"] == {"donate": False, "masked_adam": True}
+    # masked_adam reports the MEASURED mode: dense is the default now
+    assert out["variant"] == {"donate": False, "masked_adam": False}
 
 
 def test_batch_seed_mixes_loader_id():

@@ -7,17 +7,22 @@ analysis) and adds:
   --trace DIR        capture a jax.profiler trace around the timed window
                      (open with tensorboard --logdir DIR, or xprof)
   --no-donate        drop donate_argnums from the step jit
-  --no-masked-adam   neutralize optax.masked (dense Adam moments for frozen
-                     params, updates still masked to zero)
+  --masked-adam      opt into TPU.MASKED_OPT_STATE=true (moment state
+                     masked to trainable params; updates are masked to
+                     zero under BOTH settings)
+  --no-masked-adam   neutralize optax.masked entirely (overrides the knob)
   --large / --b16 / --accum / --pretrain
                      pick the measured configuration (default: base B=4)
 
 Why the A/B flags exist: masking the Adam moment state to trainable params
-(training/optim.py, round 3) measured FASTER at B=16/large but slowed the
-B=4 step ~22 ms/step ONLY in combination with buffer donation — the
-donation tables themselves are complete in both variants (verified from the
-compiled HLO), so the interaction is device-side scheduling. These flags
-reproduce all four corners of that matrix in one command each.
+interacts pathologically with buffer donation at small batch — SETTLED on
+v5e 2026-08-18, full matrix at B=4 (ms/step): donate+masked 80.8,
+donate+dense 37.0, no-donate+masked 41.6, no-donate+dense 44.4; at B=16
+masked vs dense is a wash (109.3 vs 110.3). The donation alias tables are
+complete in both variants per the compiled HLO, so the interaction is
+device-side scheduling of the MaskedState pytree. Consequence:
+TPU.MASKED_OPT_STATE now defaults to false (dense moments, masked
+updates — trained values bit-identical) and donation stays on.
 
 Usage:
     python tools/profile_step.py --b16 --trace /tmp/trace
@@ -47,6 +52,19 @@ def main(argv=None):
         import optax
 
         optax.masked = lambda inner, mask: inner
+    if "--masked-adam" in argv:
+        # opt back into masked moments regardless of the config default
+        # (TPU.MASKED_OPT_STATE=false since the A/B below was settled)
+        import __graft_entry__
+
+        _orig_flagship = __graft_entry__._flagship
+
+        def _flagship_masked(*a, **kw):
+            cfg, model = _orig_flagship(*a, **kw)
+            cfg.TPU.MASKED_OPT_STATE = True
+            return cfg, model
+
+        __graft_entry__._flagship = _flagship_masked
 
     import bench
 
@@ -79,7 +97,8 @@ def main(argv=None):
     r["config"] = {k: v for k, v in kw.items()}
     r["variant"] = {
         "donate": "--no-donate" not in argv,
-        "masked_adam": "--no-masked-adam" not in argv,
+        "masked_adam": ("--masked-adam" in argv
+                        and "--no-masked-adam" not in argv),
     }
     try:
         ms = jax.devices()[0].memory_stats() or {}

@@ -151,19 +151,27 @@ def mirror_best(prefix, epoch_path):
 
 
 def _reconcile_masked_opt_state(target, payload):
-    """Migrate a pre-round-3 opt_state state-dict onto a masked-moments
-    target.
+    """Migrate an opt_state state-dict across the masked-moments format
+    change, in EITHER direction.
 
     Round 3 wrapped the Adam/momentum transforms in ``optax.masked``
     (frozen params carry no moment state, matching the reference's
-    requires_grad=True-only optimizer). That changed the serialized tree:
-    the moment state gained an ``inner_state`` level (MaskedState) and
-    frozen leaves' (mu, nu) became empty MaskedNode dicts. Checkpoints
-    saved before the change still restore: insert the missing
-    ``inner_state`` level and drop moments the target no longer tracks
-    (they belonged to frozen params, whose updates were masked to zero —
-    discarding them is behavior-identical). Identity for current-format
-    checkpoints.
+    requires_grad=True-only optimizer): the moment state gained an
+    ``inner_state`` level (MaskedState) and frozen leaves' (mu, nu) became
+    empty MaskedNode dicts. Later in round 3 the DEFAULT flipped back to
+    dense moments (TPU.MASKED_OPT_STATE=false — the masked pytree
+    interacts pathologically with buffer donation at small batch; see
+    utils/config.py). Both checkpoint formats restore onto both targets:
+
+    * dense payload -> masked target: insert the missing ``inner_state``
+      level, drop moments the target no longer tracks (frozen params,
+      whose updates were mask-zeroed — behavior-identical);
+    * masked payload -> dense target: strip the ``inner_state`` level,
+      keep the target's freshly-initialized zeros for frozen-leaf moments
+      the payload never stored (their grads are zero, so zeros are exactly
+      what a dense run would have accumulated).
+
+    Identity when formats already agree.
     """
     if isinstance(target, dict) and not target:
         return {}                      # MaskedNode: frozen leaf, no state
@@ -172,13 +180,21 @@ def _reconcile_masked_opt_state(target, payload):
             return {"inner_state":
                     _reconcile_masked_opt_state(target["inner_state"],
                                                 payload)}
+        if "inner_state" in payload and "inner_state" not in target:
+            return _reconcile_masked_opt_state(target,
+                                               payload["inner_state"])
         # keys missing from either side pass through unchanged so
         # from_state_dict still raises loudly on genuine mismatches
         out = {}
         for k, pv in payload.items():
             out[k] = (_reconcile_masked_opt_state(target[k], pv)
                       if k in target else pv)
+        for k, tv in target.items():
+            if k not in out:           # masked-era frozen subtree absent
+                out[k] = tv            # from payload: keep init zeros
         return out
+    if isinstance(payload, dict) and not payload:
+        return target                  # MaskedNode payload -> dense leaf
     return payload
 
 

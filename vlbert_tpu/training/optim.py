@@ -330,25 +330,35 @@ def make_optimizer(config, params, steps_per_epoch):
     if t.CLIP_GRAD_NORM and t.CLIP_GRAD_NORM > 0:
         chain.append(optax.clip_by_global_norm(t.CLIP_GRAD_NORM))
 
-    # moment transforms are MASKED to the trainable set: the reference
-    # constructs its optimizer over requires_grad=True params only
-    # (vcr/function/train.py:125-135), so frozen leaves (word table,
-    # frozen stages, BN affine) carry NO moment state there. Besides
-    # parity, this trims ~25M params' worth of fp32 (m, v) from HBM and
-    # from every step's elementwise update (frozen grads are zeros the
-    # final _mask_updates would discard anyway).
+    # The reference constructs its optimizer over requires_grad=True params
+    # only (vcr/function/train.py:125-135): frozen leaves (word table,
+    # frozen stages, BN affine) carry no moment state there. Parity of the
+    # TRAINED values needs only the update mask (add_decayed_weights(mask)
+    # + the final _mask_updates — frozen grads are zeros anyway), so
+    # whether moments are also masked out of the opt-state pytree is a pure
+    # HBM-vs-speed trade, exposed as TPU.MASKED_OPT_STATE. Dense moments
+    # (default) measured 2.2x faster at B=4 under buffer donation on v5e;
+    # masked saves ~190 MB of fp32 (mu, nu) at base scale. See the knob's
+    # doc in utils/config.py and tools/profile_step.py for the A/B.
+    if getattr(config.TPU, "MASKED_OPT_STATE", False):
+        def moments(inner):
+            return optax.masked(inner, mask)
+    else:
+        def moments(inner):
+            return inner
+
     if t.OPTIMIZER == "SGD":
         if t.WD:
             chain.append(optax.add_decayed_weights(t.WD, mask=mask))
-        chain.append(optax.masked(optax.trace(decay=t.MOMENTUM), mask))
+        chain.append(moments(optax.trace(decay=t.MOMENTUM)))
     elif t.OPTIMIZER == "Adam":
         if t.WD:
             chain.append(optax.add_decayed_weights(t.WD, mask=mask))
-        chain.append(optax.masked(
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8), mask))
+        chain.append(moments(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)))
     elif t.OPTIMIZER == "AdamW":
-        chain.append(optax.masked(
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6), mask))
+        chain.append(moments(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6)))
         if t.WD:
             chain.append(optax.add_decayed_weights(t.WD, mask=mask))
     else:

@@ -320,11 +320,19 @@ def _common_config():
     # join the writer) — false restores the reference's synchronous save
     tp.ASYNC_CHECKPOINT = True
     # donate the TrainState buffers into the jitted step (halves peak state
-    # HBM). Measured interaction on v5e: with masked Adam moments, donation
-    # slows the B=4 step ~22 ms (B>=8 unaffected — faster, even); set false
-    # to trade state-copy HBM for that small-batch time. A/B via
-    # tools/profile_step.py --no-donate.
+    # HBM). A/B via tools/profile_step.py --no-donate.
     tp.DONATE_STATE = True
+    # wrap the Adam/momentum moment transforms in optax.masked so frozen
+    # params carry NO (mu, nu) arrays (~190 MB fp32 saved at base scale:
+    # word table + frozen backbone prefix). Updates to frozen params are
+    # ALWAYS masked to zero regardless of this knob, so the trained
+    # parameters are bit-identical either way. Default false: the full
+    # v5e A/B matrix (tools/profile_step.py, 2026-08-18) measured the
+    # MaskedState pytree interacting pathologically with buffer donation
+    # at small batch — B=4 step 80.8 ms masked vs 37.0 ms dense (2.2x),
+    # while B=16 is a wash (109.3 vs 110.3 ms). Set true only when moment
+    # HBM is the binding constraint (e.g. FSDP-sharded large runs).
+    tp.MASKED_OPT_STATE = False
     return c
 
 
