@@ -55,3 +55,107 @@ def test_vqa_server_query_and_latency(rng):
     lat = srv.measure_latency(queries, warmup=2)
     assert lat["n"] == 5 and lat["p50_ms"] > 0
     assert lat["p50_ms"] <= lat["p99_ms"]
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only serving quantization (ops/quant.py)
+
+def _tiny_vqa_setup(rng, **server_kw):
+    cfg = default_config("vqa")
+    cfg.MODULE = "ResNetVLBERT"
+    v = cfg.NETWORK.VLBERT
+    v.hidden_size = 32; v.visual_size = 32; v.num_hidden_layers = 1
+    v.num_attention_heads = 2; v.intermediate_size = 64; v.vocab_size = 100
+    v.max_position_embeddings = 64; v.visual_ln = True
+    v.visual_scale_text_init = 1.0; v.visual_scale_object_init = 1.0
+    cfg.NETWORK.IMAGE_FINAL_DIM = 32
+    cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = True
+    cfg.DATASET.ANSWER_VOCAB_SIZE = 4
+    cfg.NETWORK.CLASSIFIER_TYPE = "1fc"
+    m = build_module(cfg, "vqa", dtype=jnp.float32)
+    srv = VQAServer(m, None, TinyTok(), ["<unk>", "red", "blue", "cat"],
+                    max_text=16, max_boxes=8, feat_dim=16, **server_kw)
+    boxes = np.asarray([[5, 5, 50, 50], [20, 10, 80, 60]], np.float32)
+    feats = rng.normal(size=(2, 16)).astype(np.float32)
+    batch = srv.preprocess("what color is the cat", boxes, feats, 100, 80)
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, *batch, train=False)
+    return m, srv, params, (boxes, feats)
+
+
+def test_quantize_leaf_roundtrip(rng):
+    from vlbert_tpu.ops import quant
+
+    w = rng.normal(scale=0.05, size=(64, 48)).astype(np.float32)
+    node = quant.quantize_leaf(w)
+    q, s = node[quant._Q8], node[quant._Q8_SCALE]
+    assert q.dtype == np.int8 and np.abs(q).max() <= 127
+    assert s.shape == (1, 48)
+    # per-output-channel symmetric scale over the input axis
+    np.testing.assert_allclose(
+        s[0], np.abs(w).max(axis=0) / 127.0, rtol=1e-6)
+    # roundtrip error is at most half a quantization step per element
+    back = np.asarray(quant.dequantize_leaf(node))
+    assert np.all(np.abs(back - w) <= s[0][None, :] * 0.5 + 1e-7)
+
+
+def test_quantize_params_selects_matmul_kernels_only(rng):
+    from vlbert_tpu.ops import quant
+
+    tree = {"params": {
+        "dense": {"kernel": rng.normal(size=(128, 64)).astype(np.float32),
+                  "bias": np.zeros(64, np.float32)},
+        "conv": {"kernel": rng.normal(size=(3, 3, 32, 32)).astype(np.float32)},
+        "ln": {"scale": np.ones(64, np.float32)},
+        "tiny": {"kernel": rng.normal(size=(4, 4)).astype(np.float32)},
+        "emb": {"embedding": rng.normal(size=(100, 64)).astype(np.float32)},
+    }}
+    qt = quant.quantize_params(tree, min_size=1024)
+    p = qt["params"]
+    assert quant.is_quantized_leaf(p["dense"]["kernel"])
+    assert quant.is_quantized_leaf(p["conv"]["kernel"])
+    assert not quant.is_quantized_leaf(p["tiny"]["kernel"])      # < min_size
+    assert isinstance(p["dense"]["bias"], np.ndarray)            # untouched
+    assert isinstance(p["ln"]["scale"], np.ndarray)
+    assert isinstance(p["emb"]["embedding"], np.ndarray)         # gathers stay
+    # dequantize restores an ordinary tree with matching shapes
+    back = quant.dequantize_params(qt)
+    assert back["params"]["dense"]["kernel"].shape == (128, 64)
+    assert back["params"]["conv"]["kernel"].shape == (3, 3, 32, 32)
+    acct = quant.quantized_bytes(qt)
+    assert acct["quantized_bytes"] < acct["fp32_bytes"]
+
+
+def test_int8_server_matches_full_precision(rng):
+    m, srv_full, params, (boxes, feats) = _tiny_vqa_setup(rng)
+    srv_q = VQAServer(m, None, TinyTok(), ["<unk>", "red", "blue", "cat"],
+                      max_text=16, max_boxes=8, feat_dim=16,
+                      quantize="int8", quantize_min_size=64)
+    srv_full.params = params
+    srv_q.params = params
+
+    from vlbert_tpu.ops import quant
+    assert any(quant.is_quantized_leaf(n)
+               for n in _walk_q(srv_q.params)), "nothing was quantized"
+
+    batch = srv_full.preprocess("what color is the cat", boxes, feats,
+                                100, 80)
+    full = np.asarray(jax.device_get(srv_full._infer(srv_full.params,
+                                                     *batch)))
+    quant_out = np.asarray(jax.device_get(srv_q._infer(srv_q.params,
+                                                       *batch)))
+    # per-channel int8 weight noise through a 1-layer model: logits track
+    # closely relative to their spread
+    spread = float(full.std()) + 1e-6
+    assert np.max(np.abs(quant_out - full)) / spread < 0.15
+    # assigning an already-quantized tree must not double-quantize
+    srv_q.params = srv_q.params
+    again = np.asarray(jax.device_get(srv_q._infer(srv_q.params, *batch)))
+    np.testing.assert_array_equal(quant_out, again)
+
+
+def _walk_q(node):
+    if hasattr(node, "items"):
+        yield node
+        for v in node.values():
+            yield from _walk_q(v)

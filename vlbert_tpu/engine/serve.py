@@ -16,20 +16,60 @@ import numpy as np
 from vlbert_tpu.data.collate import assemble_qa_text
 
 
+def _walk_mappings(node):
+    """Yield every mapping node in a pytree (pre-order)."""
+    if isinstance(node, dict) or hasattr(node, "items"):
+        yield node
+        for v in node.values():
+            yield from _walk_mappings(v)
+
+
 class VQAServer:
-    """Holds compiled inference for one static (max_text, max_boxes) bucket."""
+    """Holds compiled inference for one static (max_text, max_boxes) bucket.
+
+    ``quantize="int8"`` stores matmul kernels in HBM as per-channel int8
+    (ops/quant.py) and dequantizes inside the jitted program — weight
+    traffic halves vs bf16, which is what batch-1 latency is made of.
+    """
 
     def __init__(self, model, params, tokenizer, answer_vocab,
-                 max_text=64, max_boxes=108, feat_dim=2048):
+                 max_text=64, max_boxes=108, feat_dim=2048, quantize=None,
+                 quantize_min_size=4096):
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode: {quantize!r}")
         self.model = model
-        self.params = params
+        self.quantize = quantize
+        self.quantize_min_size = quantize_min_size
         self.tokenizer = tokenizer
         self.answer_vocab = answer_vocab
         self.max_text = max_text
         self.max_boxes = max_boxes
         self.feat_dim = feat_dim
-        self._infer = jax.jit(
-            lambda p, *b: model.apply(p, *b, train=False)["label_logits"])
+        if quantize == "int8":
+            from vlbert_tpu.ops.quant import dequantize_params
+
+            def infer(qp, *b):
+                return model.apply(dequantize_params(qp), *b,
+                                   train=False)["label_logits"]
+            self._infer = jax.jit(infer)
+        else:
+            self._infer = jax.jit(
+                lambda p, *b: model.apply(p, *b, train=False)["label_logits"])
+        self.params = params  # property: quantizes + stages on device
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        if value is not None and self.quantize == "int8":
+            from vlbert_tpu.ops.quant import is_quantized_leaf, quantize_params
+            if not any(is_quantized_leaf(n) for n in _walk_mappings(value)):
+                value = jax.device_put(quantize_params(
+                    jax.device_get(value),
+                    min_size=self.quantize_min_size))
+        self._params = value
 
     def preprocess(self, question, boxes, features, im_w, im_h):
         """Host-side: tokenize + assemble + pad one query."""
