@@ -568,6 +568,26 @@ def serve_bench(n_queries=40, max_text=64, max_boxes=108):
                for i in range(n_queries)]
     try:
         r = srv.measure_latency(queries, warmup=5, fetch=True)
+        slope_q = queries[:12]
+        r["device_compute"] = srv.measure_device_compute(slope_q)
+        # Weight-only int8 path (ops/quant.py): kernels live in HBM as
+        # per-channel int8 and dequantize inside the jitted program. Batch-1
+        # is weight-bandwidth bound, so this is the serving speed lever; the
+        # gain shows in the RTT-cancelled device-compute slope (p50 through
+        # a fetch is dominated by the test rig's ~35 ms tunnel RTT).
+        try:
+            srv8 = VQAServer(model, params, _Tok(),
+                             srv.answer_vocab, max_text=max_text,
+                             max_boxes=max_boxes, feat_dim=2048,
+                             quantize="int8")
+            r8 = srv8.measure_latency(queries, warmup=5, fetch=True)
+            d8 = srv8.measure_device_compute(slope_q)
+            r["int8"] = {**r8, "device_compute": d8, "device_speedup": round(
+                r["device_compute"]["device_ms_per_query"]
+                / max(d8["device_ms_per_query"], 1e-9), 3)}
+            _free(srv8.params)
+        except Exception as e:  # int8 failure must not void the bf16 number
+            r["int8"] = {"error": f"{type(e).__name__}: {e}"}
     finally:
         _free(params)
     r["note"] = "batch-1, base VQA, precomputed features, incl host RTT"

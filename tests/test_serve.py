@@ -56,6 +56,11 @@ def test_vqa_server_query_and_latency(rng):
     assert lat["n"] == 5 and lat["p50_ms"] > 0
     assert lat["p50_ms"] <= lat["p99_ms"]
 
+    # RTT-cancelled slope probe: finite reading, k bookkeeping preserved
+    dc = srv.measure_device_compute(queries, k1=2, k2=6)
+    assert np.isfinite(dc["device_ms_per_query"])
+    assert (dc["k1"], dc["k2"]) == (2, 6)
+
 
 # ---------------------------------------------------------------------------
 # int8 weight-only serving quantization (ops/quant.py)
@@ -159,3 +164,50 @@ def _walk_q(node):
         yield node
         for v in node.values():
             yield from _walk_q(v)
+
+
+# ---------------------------------------------------------------------------
+# RefCOCO+ single-image grounding server (BASELINE.json tracked config)
+
+def test_refcoco_server_single_image_query(rng):
+    from vlbert_tpu.engine.serve import RefCOCOServer
+
+    cfg = default_config("refcoco")
+    cfg.MODULE = "ResNetVLBERT"
+    v = cfg.NETWORK.VLBERT
+    v.hidden_size = 32; v.visual_size = 32; v.num_hidden_layers = 1
+    v.num_attention_heads = 2; v.intermediate_size = 64; v.vocab_size = 100
+    v.max_position_embeddings = 64; v.visual_ln = True
+    v.visual_scale_text_init = 1.0; v.visual_scale_object_init = 1.0
+    cfg.NETWORK.IMAGE_FINAL_DIM = 32
+    cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = False    # full e2e backbone path
+    cfg.NETWORK.IMAGE_NUM_LAYERS = 50
+    m = build_module(cfg, "refcoco", dtype=jnp.float32)
+
+    srv = RefCOCOServer(m, None, TinyTok(), transform=None,
+                        max_text=12, max_boxes=6)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    cand = np.asarray([[2, 2, 20, 20], [10, 8, 30, 28]], np.float32)
+    batch = srv.preprocess(img, cand, "the red thing on the left")
+    assert batch[0].shape == (1, 32, 32, 3)
+    assert batch[1].shape == (1, 6, 4)            # image box + 2 cand + pad
+    assert batch[2].sum() == 3
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, *batch, train=False)
+    srv.params = params
+
+    r = srv.query(img, cand, "the red thing on the left")
+    assert r["best_index"] in (0, 1)
+    assert r["candidate_scores"].shape == (2,)
+    assert np.all((r["candidate_scores"] > 0) & (r["candidate_scores"] < 1))
+    # transform=None -> unit ratios: pred box must be one of the staged rows
+    rows = np.concatenate([[[0, 0, 31, 31]], cand], 0)
+    assert np.isclose(np.abs(rows - r["box"]).sum(1).min(), 0, atol=1e-4)
+
+    # latency probes run on the e2e path too (dict outputs through the
+    # tree-safe fetch/accumulate paths)
+    queries = [(img, cand, f"thing {i}") for i in range(3)]
+    lat = srv.measure_latency(queries, warmup=1, fetch=True)
+    assert lat["n"] == 3 and np.isfinite(lat["p50_ms"])
+    dc = srv.measure_device_compute(queries, k1=1, k2=3)
+    assert np.isfinite(dc["device_ms_per_query"])

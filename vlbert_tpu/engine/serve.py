@@ -1,9 +1,12 @@
 """Single-query serving path + latency measurement.
 
-BASELINE.json's headline includes "p50 VQA query latency tracked". This
-module provides the production serving shape: a pre-compiled batch-1
-inference function over static buckets, host-side tokenization/assembly, and
-a latency probe reporting p50/p90/p99 over distinct queries.
+BASELINE.json's headline includes "p50 VQA query latency tracked" and its
+tracked configs include "RefCOCO+ VL-BERT-base inference on one val image
+with ground-truth boxes". This module provides the production serving
+shape for both: a pre-compiled batch-1 inference function over static
+buckets, host-side tokenization/assembly, and a latency probe reporting
+p50/p90/p99 over distinct queries plus an RTT-cancelled device-compute
+slope.
 """
 
 from __future__ import annotations
@@ -13,7 +16,8 @@ import time
 import jax
 import numpy as np
 
-from vlbert_tpu.data.collate import assemble_qa_text
+from vlbert_tpu.data.collate import (assemble_expression_text,
+                                     assemble_qa_text, pad_to)
 
 
 def _walk_mappings(node):
@@ -24,37 +28,35 @@ def _walk_mappings(node):
             yield from _walk_mappings(v)
 
 
-class VQAServer:
-    """Holds compiled inference for one static (max_text, max_boxes) bucket.
+def _jit_infer(model, quantize, select):
+    """Compile batch-1 inference; int8 mode dequantizes INSIDE the program
+    (XLA fuses convert+scale into the matmul operand load — weight HBM
+    traffic halves vs bf16, which is what batch-1 latency is made of)."""
+    if quantize == "int8":
+        from vlbert_tpu.ops.quant import dequantize_params
 
-    ``quantize="int8"`` stores matmul kernels in HBM as per-channel int8
-    (ops/quant.py) and dequantizes inside the jitted program — weight
-    traffic halves vs bf16, which is what batch-1 latency is made of.
+        def infer(qp, *b):
+            return select(model.apply(dequantize_params(qp), *b,
+                                      train=False))
+    else:
+        def infer(p, *b):
+            return select(model.apply(p, *b, train=False))
+    return jax.jit(infer)
+
+
+class _QuantizableServer:
+    """Shared server plumbing: int8 weight staging + latency probes.
+
+    Subclasses set ``self._infer`` (a jitted ``(params, *batch) -> out``)
+    before assigning ``self.params``; ``out`` may be an array or a pytree.
     """
 
-    def __init__(self, model, params, tokenizer, answer_vocab,
-                 max_text=64, max_boxes=108, feat_dim=2048, quantize=None,
-                 quantize_min_size=4096):
+    def _init_common(self, model, params, quantize, quantize_min_size):
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode: {quantize!r}")
         self.model = model
         self.quantize = quantize
         self.quantize_min_size = quantize_min_size
-        self.tokenizer = tokenizer
-        self.answer_vocab = answer_vocab
-        self.max_text = max_text
-        self.max_boxes = max_boxes
-        self.feat_dim = feat_dim
-        if quantize == "int8":
-            from vlbert_tpu.ops.quant import dequantize_params
-
-            def infer(qp, *b):
-                return model.apply(dequantize_params(qp), *b,
-                                   train=False)["label_logits"]
-            self._infer = jax.jit(infer)
-        else:
-            self._infer = jax.jit(
-                lambda p, *b: model.apply(p, *b, train=False)["label_logits"])
         self.params = params  # property: quantizes + stages on device
 
     @property
@@ -70,6 +72,95 @@ class VQAServer:
                     jax.device_get(value),
                     min_size=self.quantize_min_size))
         self._params = value
+
+    def measure_latency(self, queries, warmup=3, fetch=False):
+        """p50/p90/p99 ms over distinct preprocessed queries.
+
+        ``fetch=True`` times through a full output device_get instead of
+        block_until_ready — what a real serving call pays (and the only
+        reliable completion barrier on tunneled device plugins, where
+        block_until_ready has been observed returning early)."""
+        fetch_np = (lambda o: jax.tree_util.tree_map(
+            np.asarray, jax.device_get(o)))
+        batches = [self.preprocess(*q) for q in queries]
+        for b in batches[:warmup]:
+            out = self._infer(self.params, *b)
+            if fetch:
+                # warm the SAME completion path as the measurement: the
+                # first device_get on a tunneled plugin pays a one-time
+                # transfer-path setup (observed: ~35 s!) that would land in
+                # the p99 if warmup only block_until_ready'd
+                fetch_np(out)
+            else:
+                jax.block_until_ready(out)
+        lat = []
+        for b in batches:
+            t0 = time.perf_counter()
+            out = self._infer(self.params, *b)
+            if fetch:
+                fetch_np(out)
+            else:
+                jax.block_until_ready(out)
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat = np.asarray(lat)
+        return {"p50_ms": float(np.percentile(lat, 50)),
+                "p90_ms": float(np.percentile(lat, 90)),
+                "p99_ms": float(np.percentile(lat, 99)),
+                "n": len(lat)}
+
+    def measure_device_compute(self, queries, k1=8, k2=24):
+        """Slope-timed device compute per query (ms), RTT-cancelled.
+
+        p50 through a fetch includes the host<->device round trip (~35 ms
+        on the tunneled test rig), which swamps sub-millisecond device
+        compute and hides serving optimizations like int8 weights. This
+        probe pre-stages the preprocessed queries on device, chains k
+        dispatches into one scalar via dataflow (the terminal value fetch
+        provably waits for all k), and reports (t(k2)-t(k1))/(k2-k1) —
+        per-query device time with the constant RTT cancelled. Same
+        methodology as bench.py's slope timing.
+        """
+        import jax.numpy as jnp
+
+        staged = [jax.device_put(self.preprocess(*q)) for q in queries]
+        acc = jax.jit(lambda c, o: c + sum(
+            l.sum().astype(jnp.float32)
+            for l in jax.tree_util.tree_leaves(o)))
+
+        def run_k(k):
+            carry = jnp.zeros((), jnp.float32)
+            t0 = time.perf_counter()
+            for j in range(k):
+                out = self._infer(self.params, *staged[j % len(staged)])
+                carry = acc(carry, out)
+            float(carry)             # value fetch = completion barrier
+            return time.perf_counter() - t0
+
+        run_k(2)                     # compile acc + warm the infer program
+        t1, t2 = run_k(k1), run_k(k2)
+        return {"device_ms_per_query": round((t2 - t1) / (k2 - k1) * 1e3, 4),
+                "k1": k1, "k2": k2}
+
+
+class VQAServer(_QuantizableServer):
+    """Holds compiled inference for one static (max_text, max_boxes) bucket.
+
+    ``quantize="int8"`` stores matmul kernels in HBM as per-channel int8
+    (ops/quant.py) and dequantizes inside the jitted program — weight
+    traffic halves vs bf16, which is what batch-1 latency is made of.
+    """
+
+    def __init__(self, model, params, tokenizer, answer_vocab,
+                 max_text=64, max_boxes=108, feat_dim=2048, quantize=None,
+                 quantize_min_size=4096):
+        self.tokenizer = tokenizer
+        self.answer_vocab = answer_vocab
+        self.max_text = max_text
+        self.max_boxes = max_boxes
+        self.feat_dim = feat_dim
+        self._infer = _jit_infer(model, quantize,
+                                 lambda out: out["label_logits"])
+        self._init_common(model, params, quantize, quantize_min_size)
 
     def preprocess(self, question, boxes, features, im_w, im_h):
         """Host-side: tokenize + assemble + pad one query."""
@@ -95,27 +186,78 @@ class VQAServer:
         logits = np.asarray(jax.device_get(self._infer(self.params, *batch)))
         return self.answer_vocab[int(np.argmax(logits[0]))]
 
-    def measure_latency(self, queries, warmup=3, fetch=False):
-        """p50/p90/p99 ms over distinct preprocessed queries.
 
-        ``fetch=True`` times through a full logits device_get instead of
-        block_until_ready — what a real serving call pays (and the only
-        reliable completion barrier on tunneled device plugins, where
-        block_until_ready has been observed returning early)."""
-        batches = [self.preprocess(*q) for q in queries]
-        for b in batches[:warmup]:
-            jax.block_until_ready(self._infer(self.params, *b))
-        lat = []
-        for b in batches:
-            t0 = time.perf_counter()
-            out = self._infer(self.params, *b)
-            if fetch:
-                np.asarray(jax.device_get(out))
-            else:
-                jax.block_until_ready(out)
-            lat.append((time.perf_counter() - t0) * 1e3)
-        lat = np.asarray(lat)
-        return {"p50_ms": float(np.percentile(lat, 50)),
-                "p90_ms": float(np.percentile(lat, 90)),
-                "p99_ms": float(np.percentile(lat, 99)),
-                "n": len(lat)}
+class RefCOCOServer(_QuantizableServer):
+    """Single-image referring-expression grounding (BASELINE.json tracked
+    config: "RefCOCO+ VL-BERT-base inference on one val image with
+    ground-truth boxes" — ref refcoco/test.py + refcoco/function/test.py).
+
+    Runs the FULL end-to-end path on device: raw image through the
+    ResNet-101 + ROIAlign backbone, [CLS] expr [SEP] text, per-candidate
+    grounding logits, argmax box rescaled to original image coords
+    (models/task_modules.py ResNetVLBERTForRefCOCO, not-train branch).
+    Preprocessing reuses the eval transform pipeline verbatim
+    (data/transforms.build_transforms), so serving sees exactly the tensors
+    the test entrypoint would produce; static (orientation, max_boxes,
+    max_text) buckets keep one compile per bucket.
+    """
+
+    def __init__(self, model, params, tokenizer, transform,
+                 max_text=24, max_boxes=16, add_image_as_a_box=True,
+                 quantize=None, quantize_min_size=4096):
+        self.tokenizer = tokenizer
+        self.transform = transform
+        self.max_text = max_text
+        self.max_boxes = max_boxes
+        self.add_image_as_a_box = add_image_as_a_box
+        self._infer = _jit_infer(
+            model, quantize,
+            lambda out: {"label_logits": out["label_logits"],
+                         "pred_boxes": out["pred_boxes"]})
+        self._init_common(model, params, quantize, quantize_min_size)
+
+    def preprocess(self, image, boxes, expression):
+        """image: uint8/float RGB [H0,W0,3]; boxes: [N,4] candidate boxes in
+        ORIGINAL image coords (gt boxes for the tracked config); expression:
+        the referring phrase. Mirrors data/datasets/refcoco.py test mode."""
+        image = np.asarray(image)
+        h0, w0 = image.shape[:2]
+        boxes = np.asarray(boxes, np.float32).copy()
+        if self.add_image_as_a_box:
+            boxes = np.concatenate(
+                [np.asarray([[0, 0, w0 - 1, h0 - 1]], np.float32), boxes], 0)
+        s = {"image": image, "boxes": boxes, "masks": None,
+             "im_info": np.asarray([w0, h0, 1.0, 1.0], np.float32),
+             "flipped": False}
+        if self.transform is not None:
+            s = self.transform(s)
+        image, boxes, im_info = s["image"], s["boxes"], s["im_info"]
+        w, h = float(im_info[0]), float(im_info[1])
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w - 1)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h - 1)
+
+        expr_ids = self.tokenizer.convert_tokens_to_ids(
+            self.tokenizer.tokenize(expression))
+        ids, tmask = assemble_expression_text(
+            expr_ids, self.max_text, self.tokenizer.cls_id,
+            self.tokenizer.sep_id)
+        n = min(len(boxes), self.max_boxes)
+        box_buf = pad_to(boxes, (self.max_boxes, 4), -2.0, np.float32)
+        box_mask = np.zeros(self.max_boxes, bool)
+        box_mask[:n] = True
+        return (image[None], box_buf[None], box_mask[None],
+                np.asarray(im_info, np.float32)[None],
+                ids[None], tmask[None])
+
+    def query(self, image, boxes, expression):
+        """Returns {"box": [4] pred box in ORIGINAL coords, "best_index":
+        index into the caller's candidate list, "candidate_scores": [N]}."""
+        batch = self.preprocess(image, boxes, expression)
+        out = jax.device_get(self._infer(self.params, *batch))
+        logits = np.asarray(out["label_logits"])[0]
+        off = 1 if self.add_image_as_a_box else 0
+        n = min(len(boxes), self.max_boxes - off)
+        cand = logits[off:off + n]
+        return {"box": np.asarray(out["pred_boxes"])[0],
+                "best_index": int(np.argmax(cand)),
+                "candidate_scores": 1.0 / (1.0 + np.exp(-cand))}
