@@ -152,9 +152,16 @@ def _staged_images(base_np, n):
     import jax
     import numpy as np
 
-    base16 = base_np.astype(np.int16)
-    imgs = [jax.device_put(((base16 + i) % 256).astype(np.uint8))
-            for i in range(n)]
+    if base_np.dtype == np.uint8:
+        base16 = base_np.astype(np.int16)
+        imgs = [jax.device_put(((base16 + i) % 256).astype(np.uint8))
+                for i in range(n)]
+    else:
+        # float wire leaves (e.g. precomputed ROI features): a small
+        # additive perturbation defeats dispatch dedupe without changing
+        # the compute shape
+        imgs = [jax.device_put((base_np + np.float32(i) * 1e-3)
+                               .astype(base_np.dtype)) for i in range(n)]
     jax.block_until_ready(imgs)
     return imgs
 
@@ -209,11 +216,12 @@ def fwd_bench(B=16, IMG=608, O=36, C=4, T=48, k1=6, k2=18):
     }
 
 
-def _measure_step_slope(step, jit_step, state, sb, k1, k2):
+def _measure_step_slope(step, jit_step, state, sb, k1, k2, vary_idx=0):
     """Shared train/pretrain step measurement protocol. Must run inside
     `with mesh`, with `state` already device_put and `sb` sharded.
 
-    Stages varied uint8 image batches (sb[0] is always the image leaf),
+    Stages varied copies of the ``vary_idx`` batch leaf (the uint8 image
+    for e2e workloads; the float feature tensor for precomputed ones),
     warms + stabilizes the donated-state jit signature, slope-times chained
     steps (each run ends in a loss VALUE fetch — the completion barrier),
     and dedupe-checks the loss trace. Returns (dt_per_step_s, flops);
@@ -223,19 +231,23 @@ def _measure_step_slope(step, jit_step, state, sb, k1, k2):
     import numpy as np
 
     n_stage = 3 + 2 + k1 + k2        # 3 warm/stabilize + slope inputs
-    imgs = _staged_images(np.asarray(sb[0]), n_stage)
+    imgs = _staged_images(np.asarray(sb[vary_idx]), n_stage)
+
+    def mk(i):
+        return sb[:vary_idx] + (imgs[i],) + sb[vary_idx + 1:]
+
     s = state
     try:
         rng = jax.random.PRNGKey(0)
-        s, l, _ = jit_step(s, (imgs[0],) + sb[1:], rng)
+        s, l, _ = jit_step(s, mk(0), rng)
         float(l)
         flops = None
         try:
-            flops = _flops_of(jax.jit(step), s, (imgs[0],) + sb[1:], rng)
+            flops = _flops_of(jax.jit(step), s, mk(0), rng)
         except Exception:
             pass
         for i in range(1, 3):        # stabilize donated-state signature
-            s, l, _ = jit_step(s, (imgs[i],) + sb[1:], jax.random.PRNGKey(i))
+            s, l, _ = jit_step(s, mk(i), jax.random.PRNGKey(i))
         float(l)
         lvs = []
 
@@ -244,7 +256,7 @@ def _measure_step_slope(step, jit_step, state, sb, k1, k2):
             t0 = time.time()
             for j in range(k):
                 _n[0] += 1
-                s, l, _ = jit_step(s, (imgs[3 + base + j],) + sb[1:],
+                s, l, _ = jit_step(s, mk(3 + base + j),
                                    jax.random.PRNGKey(_n[0]))
             lvs.append(float(l))     # value fetch = completion barrier;
             return time.time() - t0  # steps chain via the donated state
@@ -319,6 +331,80 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
         "ms_per_step": round(dt * 1e3, 3),
         "batch": B,
         "accum": accum,
+        "mfu": round(flops / dt / V5E_PEAK_BF16, 4) if flops else None,
+        "tflops_per_step": round(flops / 1e12, 2) if flops else None,
+    }
+
+
+def vqa_train_bench(B=64, O=100, T=64, F=2048, n_ans=3129, k1=4, k2=12):
+    """VQA 2.0 fine-tune step with precomputed ROI features (BASELINE.json
+    tracked config #2; ref cfgs/vqa/base_4x16G_fp32.yaml, frozen Fast R-CNN
+    backbone). Transformer-only: no conv fwd/bwd, so per-chip batch can be
+    much larger than the e2e VCR workload."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlbert_tpu.models.task_modules import build_module
+    from vlbert_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from vlbert_tpu.training.loop import create_train_state, make_train_step
+    from vlbert_tpu.utils.config import default_config
+
+    cfg = default_config("vqa")
+    cfg.MODULE = "ResNetVLBERT"
+    v = cfg.NETWORK.VLBERT
+    v.hidden_size = 768; v.visual_size = 768; v.num_hidden_layers = 12
+    v.num_attention_heads = 12; v.intermediate_size = 3072
+    v.visual_ln = True
+    v.visual_scale_text_init = 1.0; v.visual_scale_object_init = 1.0
+    cfg.NETWORK.IMAGE_FINAL_DIM = 768
+    cfg.NETWORK.IMAGE_FEAT_PRECOMPUTED = True
+    cfg.DATASET.ANSWER_VOCAB_SIZE = n_ans
+    cfg.TRAIN.OPTIMIZER = "AdamW"
+    model = build_module(cfg, "vqa", dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    boxes = np.full((B, O, 4 + F), -2.0, np.float32)
+    boxes[..., 0] = rng.uniform(0, 400, (B, O))
+    boxes[..., 1] = rng.uniform(0, 300, (B, O))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(16, 200, (B, O))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(16, 200, (B, O))
+    boxes[..., 4:] = rng.normal(size=(B, O, F)).astype(np.float32)
+    ids = np.asarray(rng.integers(10, 20000, (B, T)), np.int32)
+    tmask = np.broadcast_to(np.arange(T)[None] < 16, (B, T)).copy()
+    label = (rng.uniform(size=(B, n_ans)) > 0.995).astype(np.float32)
+    batch = (None, boxes, np.ones((B, O), bool),
+             np.asarray([[640, 480, 1, 1]] * B, np.float32),
+             ids, np.zeros((B, T), np.int32), tmask,
+             np.full((B,), 14, np.int32), label)
+
+    mesh = make_mesh()
+    state, tx, _, _lr = create_train_state(model, batch, cfg,
+                                           steps_per_epoch=100)
+    step = make_train_step(model, tx, "vqa", cfg, grad_accum=1)
+    rep = replicated(mesh)
+    jit_step = jax.jit(step, donate_argnums=(0,),
+                       out_shardings=(rep, rep, rep))
+    try:
+        with mesh:
+            state = jax.device_put(state, rep)
+            sb = shard_batch(batch, mesh)
+            # image leaf is None (precomputed): vary the feature tensor
+            dt, flops = _measure_step_slope(step, jit_step, state, sb,
+                                            k1, k2, vary_idx=1)
+    finally:
+        try:
+            _free(sb, state)
+        except NameError:
+            pass
+    if flops and flops / dt / V5E_PEAK_BF16 > 1.0:
+        raise RuntimeError(
+            f"impossible MFU {flops / dt / V5E_PEAK_BF16:.2f} > 1 — timing "
+            "artifact; rejecting the reading")
+    return {
+        "samples_per_s": round(B / dt, 2),
+        "ms_per_step": round(dt * 1e3, 3),
+        "batch": B,
         "mfu": round(flops / dt / V5E_PEAK_BF16, 4) if flops else None,
         "tflops_per_step": round(flops / 1e12, 2) if flops else None,
     }
@@ -673,6 +759,16 @@ def main(argv=None):
         ]
     for name, ladder in sections:
         details[name] = _with_degrade(train_bench, ladder, name)
+
+    if not quick:
+        # VQA precomputed-feature fine-tune (tracked config #2):
+        # transformer-only, so the per-chip batch scales far beyond the
+        # e2e conv workloads
+        details["train_step_vqa"] = _with_degrade(vqa_train_bench, [
+            dict(B=64, k1=4, k2=12),
+            dict(B=32, k1=4, k2=12),
+            dict(B=16, k1=3, k2=9),
+        ], "train_step_vqa")
 
     if "--pretrain" in argv:
         # reference pretraining workload (CC e2e + aux corpus, MLM+MVRC);

@@ -1158,6 +1158,23 @@ def test_bench_slope_uses_disjoint_input_ranges():
         for j in range(i + 1, len(ranges)):
             assert not (ranges[i] & ranges[j]), (calls, "overlapping inputs")
 
+def test_bench_staged_inputs_are_distinct_for_all_dtypes():
+    """Staged slope inputs must differ pairwise (dedupe defense) for BOTH
+    wire formats: uint8 images and float precomputed-feature tensors
+    (train_step_vqa varies the feature leaf, vary_idx=1)."""
+    import bench
+
+    for base in (np.full((2, 4, 4, 3), 7, np.uint8),
+                 np.ones((2, 3, 8), np.float32)):
+        staged = bench._staged_images(base, 4)
+        assert all(np.asarray(s).dtype == base.dtype for s in staged)
+        assert all(np.asarray(s).shape == base.shape for s in staged)
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert not np.array_equal(np.asarray(staged[i]),
+                                          np.asarray(staged[j])), (i, j)
+
+
 def test_bench_degrade_ladder_on_oom():
     """RESOURCE_EXHAUSTED walks the degradation ladder; other errors stop it;
     full exhaustion yields an {"error": ...} dict (never an exception)."""
@@ -1200,6 +1217,7 @@ def test_bench_main_always_emits_json(monkeypatch, capsys):
     monkeypatch.setattr(bench, "fwd_bench", boom)
     monkeypatch.setattr(bench, "train_bench", boom)
     monkeypatch.setattr(bench, "serve_bench", boom)
+    monkeypatch.setattr(bench, "vqa_train_bench", boom)
     monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
     rc = bench.main([])
     out = capsys.readouterr().out.strip().splitlines()[-1]
@@ -1207,7 +1225,7 @@ def test_bench_main_always_emits_json(monkeypatch, capsys):
     assert rc == 0
     assert d["value"] == 0.0
     for sec in ("fwd", "train_step", "train_step_accum4", "train_step_b16",
-                "train_step_large", "serve_latency"):
+                "train_step_large", "train_step_vqa", "serve_latency"):
         assert "error" in d["details"][sec], sec
 
 
