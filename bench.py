@@ -157,10 +157,12 @@ def _staged_images(base_np, n):
         imgs = [jax.device_put(((base16 + i) % 256).astype(np.uint8))
                 for i in range(n)]
     else:
-        # float wire leaves (e.g. precomputed ROI features): a small
-        # additive perturbation defeats dispatch dedupe without changing
-        # the compute shape
-        imgs = [jax.device_put((base_np + np.float32(i) * 1e-3)
+        # float wire leaves (e.g. precomputed ROI features): a RELATIVE
+        # perturbation defeats dispatch dedupe without changing the compute
+        # shape. (An additive 1e-3 is below float32 ulp for values >~8k and
+        # would silently stage identical tensors — ADVICE r3.)
+        imgs = [jax.device_put((base_np * (1.0 + np.float32(i) * 1e-4)
+                                + np.float32(i) * 1e-3)
                                .astype(base_np.dtype)) for i in range(n)]
     jax.block_until_ready(imgs)
     return imgs
@@ -405,6 +407,7 @@ def vqa_train_bench(B=64, O=100, T=64, F=2048, n_ans=3129, k1=4, k2=12):
         "samples_per_s": round(B / dt, 2),
         "ms_per_step": round(dt * 1e3, 3),
         "batch": B,
+        "text_bucket": T,
         "mfu": round(flops / dt / V5E_PEAK_BF16, 4) if flops else None,
         "tflops_per_step": round(flops / 1e12, 2) if flops else None,
     }
@@ -535,16 +538,70 @@ def _backend_alive(timeout_s, _probe=None):
                   "(tunnel/relay hang during init)")
 
 
-_METRIC_FMT = ("images/sec/chip (ROIAlign + VL-BERT-base fwd, 608px, "
-               "36 boxes, 4x48 text, B={b}; train/accum4/b16/large in "
-               "details)")
+_METRIC_FMT = ("img/s/chip e2e fwd (ResNet101+ROIAlign+VLBERT-base 608px "
+               "B={b}); train/vqa/pretrain/serve in details")
 _EMITTED = threading.Lock()  # exactly-one-JSON-line guard (watchdog races)
 _EMIT_DONE = threading.Event()  # set after the line is flushed
+
+# keys kept on the emitted line, per section; everything else (tflops,
+# flops_per_img, notes, nested device_compute dicts) lives in the sidecar.
+# BENCH_r03 died of verbosity: the line was ~2.9 KB and the driver keeps a
+# 2000-char tail, so "parsed" was null. The line must stay < 1500 bytes.
+_LINE_KEYS = ("img_per_s", "samples_per_s", "ms_per_batch", "ms_per_step",
+              "batch", "batch_images", "accum", "mfu")
+_SIDECAR = os.environ.get(
+    "BENCH_SIDECAR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "results", "bench_full.json"))
+
+
+def _compact_section(name, sec):
+    """Numbers-only view of one details section for the emitted line."""
+    if not isinstance(sec, dict):
+        return sec
+    out = {k: sec[k] for k in _LINE_KEYS if sec.get(k) is not None}
+    if name == "serve_latency":
+        for k in ("p50_ms", "p90_ms", "p99_ms"):
+            if isinstance(sec.get(k), (int, float)):
+                out[k] = round(sec[k], 2)
+        dc = sec.get("device_compute") or {}
+        if dc.get("device_ms_per_query") is not None:
+            out["dev_ms"] = dc["device_ms_per_query"]
+        i8 = sec.get("int8") or {}
+        dc8 = i8.get("device_compute") or {}
+        if dc8.get("device_ms_per_query") is not None:
+            out["int8_dev_ms"] = dc8["device_ms_per_query"]
+        if i8.get("device_speedup") is not None:
+            out["int8_speedup"] = i8["device_speedup"]
+    if "error" in sec:
+        out["error"] = str(sec["error"])[:120]
+    if "degraded" in sec:
+        out["degraded"] = True
+    return out
+
+
+def _write_sidecar(full):
+    """Always-written full artifact (prose + every measured number)."""
+    try:
+        os.makedirs(os.path.dirname(_SIDECAR), exist_ok=True)
+        with open(_SIDECAR, "w") as f:
+            json.dump(full, f, indent=1)
+        return os.path.relpath(_SIDECAR,
+                               os.path.dirname(os.path.abspath(__file__)))
+    except Exception as e:  # noqa: BLE001 — sidecar loss must not cost the line
+        print(f"bench: sidecar write failed: {e!r}", file=sys.stderr)
+        return None
 
 
 def _emit(details, error=None):
     """Compute the headline from whatever sections completed and print the
     one JSON line. Safe to call from the watchdog thread mid-run.
+
+    The line is kept compact (< 1500 bytes; the driver records only a
+    2000-char tail): per-section numbers only. The FULL details — prose
+    methodology, vs_baseline interpretation, tflops, serve percentile
+    nesting — are written to results/bench_full.json on every path and the
+    methodology is echoed to stderr.
 
     ``error`` is applied only by the WINNER of the exactly-once race, so a
     watchdog that fires just as a completed run emits can't stamp a bogus
@@ -582,29 +639,44 @@ def _emit(details, error=None):
         details["legacy_vs_estimated_a100"] = round(
             fwd["img_per_s"] / LEGACY_A100_EST_IMG_PER_S, 3)
 
-    # the watchdog thread can call this while the main thread is still
-    # inserting sections into `details`; a mid-resize json.dumps raises,
-    # which must never cost us the line — retry, then degrade
     metric = _METRIC_FMT.format(b=fwd.get("batch", 16))
+    head = {"metric": metric, "value": value, "unit": unit,
+            "vs_baseline": vs_sol if vs_sol is not None else 0.0}
+
+    # the watchdog thread can call this while the main thread is still
+    # inserting sections into `details`; a mid-resize dumps/copy raises,
+    # which must never cost us the line — retry, then degrade
     line = None
     for _ in range(3):
         try:
-            line = json.dumps({
-                "metric": metric,
-                "value": value,
-                "unit": unit,
-                "vs_baseline": vs_sol if vs_sol is not None else 0.0,
-                "details": {k: details[k] for k in list(details)},
-            })
+            snap = {k: details[k] for k in list(details)}
+            sidecar_rel = _write_sidecar({**head, "details": snap})
+            compact = {}
+            for k, v in snap.items():
+                if k in ("methodology", "vs_baseline_meaning",
+                         "legacy_vs_estimated_a100"):
+                    continue        # prose / legacy: sidecar only
+                if k == "error":
+                    compact[k] = str(v)[:200]
+                elif isinstance(v, dict):
+                    compact[k] = _compact_section(k, v)
+                else:
+                    compact[k] = v
+            if sidecar_rel:
+                compact["full"] = sidecar_rel
+            line = json.dumps({**head, "details": compact},
+                              separators=(",", ":"))
             break
         except RuntimeError:
             continue
     if line is None:
-        line = json.dumps({
-            "metric": metric, "value": value, "unit": unit,
-            "vs_baseline": vs_sol if vs_sol is not None else 0.0,
-            "details": {"error": "emit raced a section update; "
-                                 "partial details dropped"}})
+        line = json.dumps({**head,
+                           "details": {"error": "emit raced a section "
+                                       "update; partial details dropped"}},
+                          separators=(",", ":"))
+    if details.get("methodology"):
+        print("bench methodology: " + details["methodology"],
+              file=sys.stderr)
     print(line)
     sys.stdout.flush()
     _EMIT_DONE.set()
@@ -702,7 +774,17 @@ def main(argv=None):
 
     # ---- liveness + deadline guards: the JSON line must appear even if the
     # device tunnel hangs inside backend init or mid-section (both observed)
-    probe = (lambda: time.sleep(1e9)) if "--selftest-hang" in argv else None
+    probe = None
+    if "--selftest-hang" in argv:
+        probe = lambda: time.sleep(1e9)  # noqa: E731
+    elif "--selftest-wedge" in argv:
+        # the wedge selftest exercises the WATCHDOG, not the probe (the
+        # probe timeout path has its own selftest above). The real probe
+        # initializes the device plugin, which on this environment loads
+        # the tunneled TPU platform even under JAX_PLATFORMS=cpu and can
+        # take arbitrarily long when the relay is slow — that made the
+        # round-3 selftest flake with zero headroom vs the harness timeout.
+        probe = lambda: "selftest(fast-probe)"  # noqa: E731
     backend_t = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
     dev, dev_err = _backend_alive(backend_t, _probe=probe)
     if dev is None:
@@ -763,21 +845,34 @@ def main(argv=None):
     if not quick:
         # VQA precomputed-feature fine-tune (tracked config #2):
         # transformer-only, so the per-chip batch scales far beyond the
-        # e2e conv workloads
+        # e2e conv workloads. T=32 is the realistic text bucket (live
+        # question length ~16; round 3 benched T=64 and burned ~75% of
+        # encoder capacity on padding -> MFU 0.256). B ladder extended to
+        # 256 per VERDICT r3 item 2.
         details["train_step_vqa"] = _with_degrade(vqa_train_bench, [
-            dict(B=64, k1=4, k2=12),
-            dict(B=32, k1=4, k2=12),
-            dict(B=16, k1=3, k2=9),
+            dict(B=256, T=32, k1=3, k2=9),
+            dict(B=128, T=32, k1=4, k2=12),
+            dict(B=64, T=32, k1=4, k2=12),
+            dict(B=32, T=32, k1=4, k2=12),
+            dict(B=16, T=32, k1=3, k2=9),
         ], "train_step_vqa")
 
-    if "--pretrain" in argv:
-        # reference pretraining workload (CC e2e + aux corpus, MLM+MVRC);
-        # off by default to keep the driver-run bench bounded
-        details["pretrain_step"] = _with_degrade(pretrain_bench, [
+    if quick and "--pretrain" not in argv:
+        pretrain_ladder = None
+    else:
+        # reference pretraining workload (CC e2e + aux corpus, MLM+MVRC) —
+        # tracked config #4. Captured BY DEFAULT since round 4 (VERDICT r3
+        # item 3) with small slope counts; the compile cache keeps repeat
+        # runs cheap.
+        pretrain_ladder = [
             dict(B=16, aux_B=16, k1=2, k2=6),
-            dict(B=8, aux_B=8, k1=3, k2=9),
-            dict(B=4, aux_B=4, k1=3, k2=7),
-        ], "pretrain_step")
+            dict(B=8, aux_B=8, k1=2, k2=5),
+            dict(B=4, aux_B=4, k1=2, k2=5),
+        ]
+    if pretrain_ladder:
+        details["pretrain_step"] = _with_degrade(pretrain_bench,
+                                                 pretrain_ladder,
+                                                 "pretrain_step")
 
     if not quick:
         # batch-1 VQA serving latency (BASELINE.json: p50 tracked) — one

@@ -1204,7 +1204,7 @@ def test_bench_degrade_ladder_on_oom():
     assert "error" in r and "not an OOM" in r["error"]
 
 
-def test_bench_main_always_emits_json(monkeypatch, capsys):
+def test_bench_main_always_emits_json(monkeypatch, capsys, tmp_path):
     """BENCH_r02 was rc=1 with no JSON. main() must print a parseable line
     and return 0 even if every section raises."""
     import json as _json
@@ -1214,10 +1214,12 @@ def test_bench_main_always_emits_json(monkeypatch, capsys):
     def boom(**kw):
         raise RuntimeError("RESOURCE_EXHAUSTED")
 
+    monkeypatch.setattr(bench, "_SIDECAR", str(tmp_path / "bench_full.json"))
     monkeypatch.setattr(bench, "fwd_bench", boom)
     monkeypatch.setattr(bench, "train_bench", boom)
     monkeypatch.setattr(bench, "serve_bench", boom)
     monkeypatch.setattr(bench, "vqa_train_bench", boom)
+    monkeypatch.setattr(bench, "pretrain_bench", boom)
     monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
     rc = bench.main([])
     out = capsys.readouterr().out.strip().splitlines()[-1]
@@ -1225,16 +1227,81 @@ def test_bench_main_always_emits_json(monkeypatch, capsys):
     assert rc == 0
     assert d["value"] == 0.0
     for sec in ("fwd", "train_step", "train_step_accum4", "train_step_b16",
-                "train_step_large", "train_step_vqa", "serve_latency"):
+                "train_step_large", "train_step_vqa", "pretrain_step",
+                "serve_latency"):
         assert "error" in d["details"][sec], sec
+
+
+def test_bench_line_is_driver_parseable(monkeypatch, capsys, tmp_path):
+    """BENCH_r03 had parsed=null: the emitted line was ~2.9 KB of embedded
+    methodology prose and the driver keeps only a 2000-char tail. With every
+    section fully populated the line must stay well under that (< 1500 B),
+    and the full artifact (prose included) must land in the sidecar."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(bench, "_SIDECAR", str(tmp_path / "bench_full.json"))
+    monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
+    monkeypatch.setattr(bench, "_backend_alive",
+                        lambda t, _probe=None: ("TPU v5 lite0", None))
+    fwd = {"img_per_s": 509.16, "ms_per_batch": 31.424, "batch": 16,
+           "mfu": 0.565, "tflops_per_batch": 3.5,
+           "flops_per_img": 218605551616.0}
+    train = {"img_per_s": 143.72, "ms_per_step": 111.327, "batch": 16,
+             "accum": 4, "mfu": 0.4607, "tflops_per_step": 10.1}
+    vqa = {"samples_per_s": 1548.74, "ms_per_step": 116.63, "batch": 256,
+           "mfu": 0.4556, "tflops_per_step": 5.87}
+    pre = {"img_per_s": 88.73, "samples_per_s": 177.46, "ms_per_step": 180.3,
+           "batch_images": 16, "batch_aux_texts": 16, "mfu": 0.41,
+           "tflops_per_step": 14.2}
+    serve = {"p50_ms": 42.841790999773366, "p90_ms": 52.422818999639276,
+             "p99_ms": 87.0047392501601, "n": 40,
+             "device_compute": {"device_ms_per_query": 0.8153,
+                                "k1": 8, "k2": 24},
+             "int8": {"p50_ms": 42.64999, "p90_ms": 52.06260,
+                      "p99_ms": 55.93012, "n": 40,
+                      "device_compute": {"device_ms_per_query": 0.6134,
+                                         "k1": 8, "k2": 24},
+                      "device_speedup": 1.329},
+             "note": "batch-1, base VQA, precomputed features, incl host RTT"}
+    monkeypatch.setattr(bench, "fwd_bench", lambda **kw: dict(fwd))
+    monkeypatch.setattr(bench, "train_bench", lambda **kw: dict(train))
+    monkeypatch.setattr(bench, "vqa_train_bench", lambda **kw: dict(vqa))
+    monkeypatch.setattr(bench, "pretrain_bench", lambda **kw: dict(pre))
+    monkeypatch.setattr(bench, "serve_bench", lambda **kw: dict(serve))
+    rc = bench.main([])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    assert len(out.encode()) < 1500, f"line is {len(out.encode())} bytes"
+    d = _json.loads(out)
+    assert d["value"] == 509.16
+    assert d["vs_baseline"] > 0
+    det = d["details"]
+    for sec in ("fwd", "train_step", "train_step_accum4", "train_step_b16",
+                "train_step_large", "train_step_vqa", "pretrain_step",
+                "serve_latency"):
+        assert det[sec], sec
+    # numbers survive compaction; prose does not
+    assert det["train_step_vqa"]["mfu"] == 0.4556
+    assert det["serve_latency"]["int8_speedup"] == 1.329
+    assert "methodology" not in det and "vs_baseline_meaning" not in det
+    full = _json.loads((tmp_path / "bench_full.json").read_text())
+    assert "methodology" in full["details"]
+    assert full["details"]["serve_latency"]["int8"]["device_speedup"] == 1.329
 
 
 def _run_bench_subprocess(extra_argv, extra_env, timeout=120):
     import json as _json
     import subprocess
     import sys as _sys
+    import tempfile
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu", **extra_env)
+    # keep selftest subprocesses from clobbering the real bench sidecar
+    sidecar = os.path.join(tempfile.mkdtemp(prefix="bench_selftest_"),
+                           "bench_full.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_SIDECAR=sidecar,
+               **extra_env)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     p = subprocess.run(
         [_sys.executable, os.path.join(repo, "bench.py")] + extra_argv,
@@ -1256,10 +1323,16 @@ def test_bench_backend_hang_still_emits_json():
 
 def test_bench_watchdog_deadline_emits_partial_json():
     """If the run wedges mid-measurement, the global watchdog emits the JSON
-    line with whatever sections completed and exits 0."""
+    line with whatever sections completed and exits 0.
+
+    --selftest-wedge substitutes a fast synthetic probe: this test exercises
+    the WATCHDOG, not backend init. Round 3 flaked here because the real
+    probe initialized the tunneled device plugin (which loads even under
+    JAX_PLATFORMS=cpu) with BENCH_BACKEND_TIMEOUT_S equal to the harness
+    timeout — zero headroom when the relay was slow."""
     d = _run_bench_subprocess(
         ["--selftest-wedge"],
-        {"BENCH_DEADLINE_S": "2", "BENCH_BACKEND_TIMEOUT_S": "120"})
+        {"BENCH_DEADLINE_S": "2", "BENCH_BACKEND_TIMEOUT_S": "15"})
     assert "watchdog" in d["details"]["error"]
     assert d["details"].get("device")    # preflight succeeded first
 

@@ -46,8 +46,10 @@ class _DemoTok:
 
 def main():
     ap = argparse.ArgumentParser()
+    # default matches BASELINE's tracked config: one val image with
+    # GROUND-TRUTH boxes (ADVICE r3 — detected-regions was a mismatch)
     ap.add_argument("--cfg", default=os.path.join(
-        REPO, "cfgs/refcoco/base_detected_regions_4x16G.yaml"))
+        REPO, "cfgs/refcoco/base_gt_boxes_4x16G.yaml"))
     ap.add_argument("--ckpt", default=None,
                     help="converted .model checkpoint (else random init)")
     ap.add_argument("--image", default=None, help="image file (else synth)")

@@ -119,6 +119,12 @@ class _QuantizableServer:
         provably waits for all k), and reports (t(k2)-t(k1))/(k2-k1) —
         per-query device time with the constant RTT cancelled. Same
         methodology as bench.py's slope timing.
+
+        Serialization assumption (ADVICE r3): the k dispatches are mutually
+        independent (only the small scalar acc chains), so on a backend
+        that overlaps program execution the slope reports PIPELINED
+        throughput per query, not isolated per-query latency. On the single
+        serializing TPU core this targets, the two coincide.
         """
         import jax.numpy as jnp
 
@@ -250,14 +256,27 @@ class RefCOCOServer(_QuantizableServer):
                 ids[None], tmask[None])
 
     def query(self, image, boxes, expression):
-        """Returns {"box": [4] pred box in ORIGINAL coords, "best_index":
-        index into the caller's candidate list, "candidate_scores": [N]}."""
+        """Returns a consistent triple over the CALLER's candidate list:
+        {"box": [4] the best candidate box in ORIGINAL coords,
+         "best_index": its index into the caller's list,
+         "candidate_scores": [N] sigmoid scores,
+         "image_box_score": score of the prepended whole-image box (or None)}.
+
+        Note a deliberate difference from the reference eval
+        (refcoco/function/test.py:20-97 argmaxes over ALL slots including
+        the prepended whole-image box): serving picks from the caller's
+        candidates only, so "box" always corresponds to "best_index"
+        (ADVICE r3). The whole-image score is exposed so callers can detect
+        "the model preferred the whole image" themselves."""
         batch = self.preprocess(image, boxes, expression)
         out = jax.device_get(self._infer(self.params, *batch))
         logits = np.asarray(out["label_logits"])[0]
         off = 1 if self.add_image_as_a_box else 0
         n = min(len(boxes), self.max_boxes - off)
         cand = logits[off:off + n]
-        return {"box": np.asarray(out["pred_boxes"])[0],
-                "best_index": int(np.argmax(cand)),
-                "candidate_scores": 1.0 / (1.0 + np.exp(-cand))}
+        best = int(np.argmax(cand))
+        return {"box": np.asarray(boxes[best], np.float32),
+                "best_index": best,
+                "candidate_scores": 1.0 / (1.0 + np.exp(-cand)),
+                "image_box_score": float(1.0 / (1.0 + np.exp(-logits[0])))
+                if self.add_image_as_a_box else None}

@@ -6,9 +6,17 @@ as per-output-channel symmetric int8 and dequantized *inside* the jitted
 inference program. XLA fuses the ``convert(int8->bf16) * scale`` into the
 matmul's operand load, so weight HBM traffic halves vs bf16 (4x vs fp32)
 while the MXU still computes in bf16. Batch-1 serving is weight-bandwidth
-bound, so this directly cuts single-query latency; accuracy impact of
-per-channel int8 on transformer kernels is well under the ±0.3% parity
-budget (tested numerically in tests/test_serve.py).
+bound, so this directly cuts single-query latency.
+
+Measured accuracy impact (what the evidence actually shows — see
+results/int8_base_scale.json, tools/int8_accuracy.py, and
+tests/test_serve.py::test_int8_base_scale_argmax_stability): at base scale
+(768x12x30522, random-weight checkpoints) per-channel int8 perturbs VQA
+logits by <= 0.035 max (logit std 0.45) and RefCOCO+ logits by <= 0.013,
+with ZERO argmax flips on either head. Real-data accuracy deltas would
+need trained checkpoints + datasets, which this environment does not have;
+the ±0.3% parity budget is therefore supported mechanically (small bounded
+logit noise, stable argmax), not proven on benchmark data.
 
 Scope: leaves named ``kernel`` with ndim >= 2 (Dense [in, out] and conv
 [kh, kw, in, out] kernels), scale computed over all axes but the last.
