@@ -168,6 +168,18 @@ def _staged_images(base_np, n):
     return imgs
 
 
+def _apply_product_rng(cfg, rng_impl=None):
+    """Apply the trainer's process-wide PRNG choice (engine/train.py:195)
+    so the bench measures the shipped default (TPU.RNG_IMPL='rbg'), not
+    threefry. BENCH_r03's train_step_vqa 0.256 MFU was partly this: the
+    bench ran threefry dropout masks the real trainer never uses."""
+    import jax
+
+    impl = rng_impl or cfg.TPU.get("RNG_IMPL")
+    if impl:
+        jax.config.update("jax_default_prng_impl", impl)
+
+
 def fwd_bench(B=16, IMG=608, O=36, C=4, T=48, k1=6, k2=18):
     import jax
     import numpy as np
@@ -281,6 +293,7 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
     from vlbert_tpu.training.loop import create_train_state, make_train_step
 
     cfg, model = _flagship(tiny=False)
+    _apply_product_rng(cfg)
     if large:
         v = cfg.NETWORK.VLBERT
         v.hidden_size = 1024
@@ -338,11 +351,16 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
     }
 
 
-def vqa_train_bench(B=64, O=100, T=64, F=2048, n_ans=3129, k1=4, k2=12):
+def vqa_train_bench(B=64, O=100, T=64, F=2048, n_ans=3129, k1=4, k2=12,
+                    dropout=None, rng_impl=None):
     """VQA 2.0 fine-tune step with precomputed ROI features (BASELINE.json
     tracked config #2; ref cfgs/vqa/base_4x16G_fp32.yaml, frozen Fast R-CNN
     backbone). Transformer-only: no conv fwd/bwd, so per-chip batch can be
-    much larger than the e2e VCR workload."""
+    much larger than the e2e VCR workload.
+
+    ``dropout``/``rng_impl`` are A/B levers for profiling (tools/
+    profile_step.py): dropout=0.0 removes the threefry mask generation from
+    the step; rng_impl='rbg' swaps the PRNG for the fast TPU generator."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -353,8 +371,13 @@ def vqa_train_bench(B=64, O=100, T=64, F=2048, n_ans=3129, k1=4, k2=12):
     from vlbert_tpu.utils.config import default_config
 
     cfg = default_config("vqa")
+    _apply_product_rng(cfg, rng_impl)
     cfg.MODULE = "ResNetVLBERT"
     v = cfg.NETWORK.VLBERT
+    if dropout is not None:
+        v.hidden_dropout_prob = float(dropout)
+        v.attention_probs_dropout_prob = float(dropout)
+        cfg.NETWORK.CLASSIFIER_DROPOUT = float(dropout)
     v.hidden_size = 768; v.visual_size = 768; v.num_hidden_layers = 12
     v.num_attention_heads = 12; v.intermediate_size = 3072
     v.visual_ln = True
@@ -464,6 +487,7 @@ def pretrain_bench(B=8, aux_B=8, IMG=608, O=36, T=64, k1=3, k2=9):
         os.path.dirname(os.path.abspath(__file__)),
         "cfgs/pretrain/base_e2e_16x16G_fp16.yaml"))
     cfg.TRAIN.FP16 = False           # bf16 compute (TPU default), no scaling
+    _apply_product_rng(cfg)
     import jax.numpy as jnp
 
     model = build_module(cfg, "pretrain", dtype=jnp.bfloat16)

@@ -71,6 +71,17 @@ def main(argv=None):
     bench._enable_compile_cache()
     if "--pretrain" in argv:
         fn, kw = bench.pretrain_bench, dict(B=8, aux_B=8, k1=3, k2=9)
+    elif "--vqa" in argv:
+        fn, kw = bench.vqa_train_bench, dict(B=64, T=32, k1=3, k2=9)
+        for i, a in enumerate(argv):
+            if a == "--vqa-b":
+                kw["B"] = int(argv[i + 1])
+            if a == "--vqa-t":
+                kw["T"] = int(argv[i + 1])
+        if "--dropout0" in argv:
+            kw["dropout"] = 0.0
+        if "--rbg" in argv:
+            kw["rng_impl"] = "rbg"
     else:
         fn = bench.train_bench
         kw = dict(B=4, accum=1, k1=3, k2=9)

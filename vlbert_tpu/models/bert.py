@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vlbert_tpu.ops.dropout import Dropout
+
 ACT2FN = {
     # exact erf gelu (ref: modeling.py:114-120), NOT the tanh approximation
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
@@ -126,7 +128,7 @@ class BertSelfAttention(nn.Module):
         scores = scores + attention_bias.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1)
         probs_out = probs
-        probs = nn.Dropout(rate=self.dropout_rate)(probs, deterministic=deterministic)
+        probs = Dropout(rate=self.dropout_rate)(probs, deterministic=deterministic)
         probs = probs.astype(self.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(self.dtype),
                          preferred_element_type=jnp.float32)
@@ -161,7 +163,7 @@ class BertAttention(nn.Module):
             attn, probs = attn
         h = bert_dense(self.hidden_size, self.initializer_range, self.dtype,
                        "output_dense")(attn)
-        h = nn.Dropout(rate=self.hidden_dropout)(h, deterministic=deterministic)
+        h = Dropout(rate=self.hidden_dropout)(h, deterministic=deterministic)
         h = BertLayerNorm(name="output_LayerNorm")(h + x)
         if output_attention_probs:
             return h, probs
@@ -199,7 +201,7 @@ class BertLayer(nn.Module):
         inter = ACT2FN[self.hidden_act](inter)
         out = bert_dense(self.hidden_size, self.initializer_range, self.dtype,
                          "output_dense")(inter)
-        out = nn.Dropout(rate=self.hidden_dropout)(out, deterministic=deterministic)
+        out = Dropout(rate=self.hidden_dropout)(out, deterministic=deterministic)
         out = BertLayerNorm(name="output_LayerNorm")(out + attn_out)
         if output_attention_probs:
             return out, probs

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from vlbert_tpu.models.resnet import ResNetC4Backbone, ResNetRoIHead
 from vlbert_tpu.ops.coord_embed import coordinate_embeddings
+from vlbert_tpu.ops.dropout import Dropout
 from vlbert_tpu.ops.image_norm import normalize_uint8_image
 from vlbert_tpu.ops.roi_align import roi_align
 
@@ -173,7 +174,7 @@ class FastRCNN(nn.Module):
 
         down_in = jnp.concatenate(
             [coord.astype(self.dtype), feats.astype(self.dtype)], axis=-1)
-        down_in = nn.Dropout(rate=0.1)(down_in, deterministic=deterministic)
+        down_in = Dropout(rate=0.1)(down_in, deterministic=deterministic)
         obj_reps = nn.Dense(
             self.final_dim, dtype=self.dtype, param_dtype=jnp.float32,
             name="obj_downsample")(down_in)

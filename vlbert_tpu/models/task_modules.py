@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from vlbert_tpu.models.bert import ACT2FN, BertLayerNorm, bert_dense
 from vlbert_tpu.models.fast_rcnn import FastRCNN
+from vlbert_tpu.ops.dropout import Dropout
 from vlbert_tpu.models.vlbert import (
     VisualLinguisticBert,
     VisualLinguisticBertForPretraining,
@@ -96,16 +97,16 @@ class Classifier(nn.Module):
     def __call__(self, x, deterministic=True):
         xavier = nn.initializers.xavier_uniform()
         if self.kind == "2fc":
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = Dropout(self.dropout)(x, deterministic=deterministic)
             x = nn.Dense(self.classifier_hidden, kernel_init=xavier,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="dense_0")(x)
             x = nn.relu(x)
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = Dropout(self.dropout)(x, deterministic=deterministic)
             x = nn.Dense(self.out_dim, kernel_init=xavier, dtype=self.dtype,
                          param_dtype=jnp.float32, name="dense_1")(x)
         elif self.kind == "1fc":
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = Dropout(self.dropout)(x, deterministic=deterministic)
             x = nn.Dense(self.out_dim, kernel_init=xavier, dtype=self.dtype,
                          param_dtype=jnp.float32, name="dense_0")(x)
         elif self.kind == "mlm":
@@ -113,7 +114,7 @@ class Classifier(nn.Module):
                            self.dtype, "transform_dense")(x)
             x = ACT2FN[self.hidden_act](x)
             x = BertLayerNorm(name="transform_LayerNorm")(x)
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = Dropout(self.dropout)(x, deterministic=deterministic)
             x = nn.Dense(self.out_dim, kernel_init=xavier, dtype=self.dtype,
                          param_dtype=jnp.float32, name="dense_0")(x)
         else:
@@ -183,7 +184,7 @@ class ResNetVLBERTForVCR(nn.Module):
                 self.cnn_loss_transform = MVRCHeadTransform(
                     vl.hidden_size, vl.hidden_act, vl.initializer_range,
                     vl.dtype, name="cnn_loss_reg_transform")
-                self.cnn_loss_dropout = nn.Dropout(net.CNN_REG_DROPOUT)
+                self.cnn_loss_dropout = Dropout(net.CNN_REG_DROPOUT)
                 self.cnn_loss_fc = nn.Dense(
                     81, dtype=vl.dtype, param_dtype=jnp.float32,
                     name="cnn_loss_reg_fc")
@@ -499,7 +500,7 @@ class ResNetVLBERTForRefCOCO(nn.Module):
         self.final_transform = MVRCHeadTransform(
             vl.hidden_size, vl.hidden_act, vl.initializer_range, vl.dtype,
             name="final_mlp_transform")
-        self.final_dropout = nn.Dropout(cfg.NETWORK.CLASSIFIER_DROPOUT)
+        self.final_dropout = Dropout(cfg.NETWORK.CLASSIFIER_DROPOUT)
         self.final_fc = nn.Dense(
             1, kernel_init=nn.initializers.xavier_uniform(),
             dtype=vl.dtype, param_dtype=jnp.float32, name="final_mlp_fc")
@@ -784,6 +785,11 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
         fused = bool(config.TPU.get("FUSED_ATTENTION", False))
         fused_qkv = bool(config.TPU.get("FUSED_QKV", False))
         scan_layers = bool(config.TPU.get("SCAN_LAYERS", False))
+        # process-global dropout mask implementation (ops/dropout.py);
+        # per-module `impl=` attributes still override
+        import vlbert_tpu.ops.dropout as dropout_lib
+
+        dropout_lib.DEFAULT_IMPL = config.TPU.get("DROPOUT_IMPL", "bits16")
     vl_cfg = VLBertConfig.from_attrdict(
         config.NETWORK.VLBERT, dtype=dtype, remat=remat,
         fused_attention=kwargs.get("fused_attention", fused),

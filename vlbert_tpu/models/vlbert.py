@@ -38,6 +38,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vlbert_tpu.ops.dropout import Dropout
 from vlbert_tpu.models.bert import (
     ACT2FN,
     BertEncoder,
@@ -117,7 +118,7 @@ class VisualLinguisticBert(nn.Module):
             c.type_vocab_size, c.hidden_size, embedding_init=init,
             param_dtype=jnp.float32, dtype=c.dtype, name="token_type_embeddings")
         self.embedding_LayerNorm = BertLayerNorm(name="embedding_LayerNorm")
-        self.embedding_dropout = nn.Dropout(rate=c.hidden_dropout_prob)
+        self.embedding_dropout = Dropout(rate=c.hidden_dropout_prob)
 
         if c.visual_size != c.hidden_size:
             self.visual_1x1_text = bert_dense(

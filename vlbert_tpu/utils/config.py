@@ -293,6 +293,12 @@ def _common_config():
     # 'rbg' halves dropout cost vs threefry on TPU (dropout RNG measured ~2x
     # encoder fwd time); 'threefry2x32' for cross-platform reproducibility
     tp.RNG_IMPL = "rbg"
+    # dropout mask construction (ops/dropout.py): 'bits16' = uint16
+    # threshold compare (half the PRNG words of bernoulli, no int->float
+    # pass; keep-prob quantized to 1/65536 — measured 33 ms/step of
+    # threefry-bernoulli mask cost on the v5e VQA fine-tune step);
+    # 'ref' = jax.random.bernoulli, bit-identical to flax nn.Dropout
+    tp.DROPOUT_IMPL = "bits16"
     # single [H, 3H] QKV projection: measured 23% faster encoder backward on
     # v5e (17.7 vs 23.1 ms at [32, 85]); reference checkpoints are fused on
     # load by training/convert.fuse_qkv_params
