@@ -41,8 +41,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # bench.py's published device-only rate for the same graph (B=16, 608px,
-# 36 boxes, 4x48 text); refreshed each round from BENCH_r{N}/results
-BENCH_B16_IMG_PER_S = 143.7
+# 36 boxes, 4x48 text); refreshed each round from BENCH_r{N}/results —
+# round 4: 170.5 img/s after the bits16-dropout + rbg fix
+# (results/xla_flag_probe.json "baseline")
+BENCH_B16_IMG_PER_S = 170.5
 
 
 class _SpeedoCapture(logging.Handler):
