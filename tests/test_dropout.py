@@ -123,3 +123,38 @@ def test_bfloat16_passthrough_dtype():
     x = jnp.ones((8, 256), jnp.bfloat16)
     y = _apply(0.1, x, jax.random.PRNGKey(1))
     assert y.dtype == jnp.bfloat16
+
+
+def _on_tpu():
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def test_pallas_impl_falls_back_off_tpu():
+    # this suite runs on the CPU backend: impl='pallas' must transparently
+    # take the bits16 path (no interpret-mode prng_seed in this JAX build)
+    # and produce the exact bits16 output for the same key
+    x = jnp.ones((16, 133), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    if _on_tpu():
+        pytest.skip("fallback path is the off-TPU branch")
+    y = _apply(0.25, x, key, impl="pallas")
+    yb = _apply(0.25, x, key, impl="bits16")
+    assert (np.asarray(y) == np.asarray(yb)).all()
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="hardware-PRNG kernel is TPU-only")
+def test_pallas_impl_on_tpu():
+    # torch-dropout semantics + fwd/bwd mask agreement (the backward
+    # REGENERATES the mask from the seed — nothing is stored)
+    x = jnp.ones((256, 133), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    rate = 0.1
+    y = _apply(rate, x, key, impl="pallas")
+    y2 = _apply(rate, x, key, impl="pallas")
+    assert (np.asarray(y) == np.asarray(y2)).all(), "same key, same mask"
+    kept = np.asarray(y) != 0
+    assert abs(kept.mean() - (1 - rate)) < 0.02
+    np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / (1 - rate),
+                               rtol=1e-6)
+    g = jax.grad(lambda x: _apply(rate, x, key, impl="pallas").sum())(x)
+    assert ((np.asarray(g) != 0) == kept).all(), "bwd regenerated same mask"

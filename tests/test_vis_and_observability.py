@@ -51,16 +51,24 @@ def test_dump_attention_maps(tmp_path, rng):
     assert len(names) == L and names[5] == "[PAD]" and names[-1] == "[END]"
 
 
-def test_speedometer_phases(capsys):
+def test_speedometer_phases(capsys, caplog):
+    import logging
+
     from vlbert_tpu.training.loop import Speedometer
 
     s = Speedometer(batch_size=4, frequent=2, batches_per_epoch=4, epochs=1)
-    s.phase(0.1, 0.2)
-    s(0, 0)
-    s.phase(0.1, 0.2)
-    s(0, 1)
+    with caplog.at_level(logging.INFO, logger="vlbert_tpu.training.loop"):
+        s.phase(0.1, 0.2, tran_dt=0.04, sync_dt=0.3)
+        s(0, 0)
+        s.phase(0.1, 0.2, 0.04, 0.5)
+        s(0, 1)
     out = capsys.readouterr().out
     assert "PROGRESS: 50%" in out
+    # the log line carries all four phases (per-batch averages over the
+    # window): Data (loader), Tran (H2D dispatch), Step (jit dispatch),
+    # Sync (the LOG_FREQUENT fetch barrier = drained device backlog)
+    line = next(m for m in caplog.messages if "Speed:" in m)
+    assert "Data: 0.100s Tran: 0.040s Step: 0.200s Sync: 0.400s" in line
 
 
 def test_pretrain_attention_vis_method(rng):

@@ -170,9 +170,20 @@ def make_eval_step(model, task, config):
 
 
 class Speedometer:
-    """samples/s + ETA + phase-timing logger (ref: speedometer.py:33-102,
-    phases Data/Step replace the reference's Data/Tran/F/B/O/M — under jit
-    the fwd/bwd/optim phases fuse into one device step)."""
+    """samples/s + ETA + phase-timing logger (ref: speedometer.py:33-102).
+
+    Phases map the reference's Data/Tran/F/B/O/M onto the jit world:
+      * Data — host loader wait (same meaning as the reference's),
+      * Tran — ``shard_batch`` H2D dispatch (the reference's Tran; on a
+        local PCIe host this is sub-ms async dispatch, but over a tunneled
+        device plugin the transfer itself can surface here),
+      * Step — jitted train-step dispatch (the reference's F/B/O/M fuse
+        into one device program under jit),
+      * Sync — the LOG_FREQUENT metric-fetch barrier, i.e. the device
+        backlog (queued H2D + compute) the pipelined dispatches deferred.
+    Per-batch wall ~= Data + Tran + Step + Sync; none of the device wait
+    is hidden from the log line.
+    """
 
     def __init__(self, batch_size, frequent, batches_per_epoch, epochs):
         self.batch_size = batch_size
@@ -183,11 +194,15 @@ class Speedometer:
         self.count = 0
         self.global_count = 0
         self.data_time = 0.0
+        self.tran_time = 0.0
         self.step_time = 0.0
+        self.sync_time = 0.0
 
-    def phase(self, data_dt, step_dt):
+    def phase(self, data_dt, step_dt, tran_dt=0.0, sync_dt=0.0):
         self.data_time += data_dt
+        self.tran_time += tran_dt
         self.step_time += step_dt
+        self.sync_time += sync_dt
 
     def __call__(self, epoch, batch_idx, metrics_fmt=""):
         self.count += 1
@@ -199,15 +214,17 @@ class Speedometer:
             eta_h = remaining * dt / self.frequent / 3600
             logger.info(
                 "Epoch[%d] Batch [%d]  Speed: %.2f samples/sec  ETA: %.2f h  "
-                "Data: %.3fs Step: %.3fs  %s",
+                "Data: %.3fs Tran: %.3fs Step: %.3fs Sync: %.3fs  %s",
                 epoch, batch_idx, speed, eta_h,
-                self.data_time / self.frequent, self.step_time / self.frequent,
+                self.data_time / self.frequent, self.tran_time / self.frequent,
+                self.step_time / self.frequent, self.sync_time / self.frequent,
                 metrics_fmt)
             # PROGRESS stdout line (ref trainer.py:77)
             print(f"PROGRESS: {100.0 * self.global_count / self.total_batches:.0f}%",
                   flush=True)
             self.tic = time.time()
-            self.data_time = self.step_time = 0.0
+            self.data_time = self.tran_time = 0.0
+            self.step_time = self.sync_time = 0.0
 
 
 def fit(model, config, task, train_loader, steps_per_epoch, *,
@@ -335,8 +352,10 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                 if profile_dir and global_step == 10 and not profiling:
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
+                t_tran = time.time()
                 batch = shard_batch(to_micro(batch), mesh,
                                     batch_dim=0 if grad_accum == 1 else 1)
+                tran_dt = time.time() - t_tran
                 rng, sub = jax.random.split(rng)
                 t_step = time.time()
                 state, loss, dm = jit_step(state, batch, sub)
@@ -345,15 +364,19 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                 # NO per-step device sync: steps pipeline back-to-back; the
                 # fetch below (every LOG_FREQUENT) is the only host barrier
                 step_dt = time.time() - t_step
-                speedo.phase(data_dt, step_dt)
+                sync_dt = 0.0
                 global_step += 1
                 if (i + 1) % log_freq == 0 or profiling:
+                    t_sync = time.time()
                     for d in jax.device_get(pending):
                         acc.update(d)
                     pending.clear()
                     # NaN guard (no reference counterpart; failure detection
                     # per SURVEY §5): halt instead of training on garbage
                     lv = float(jax.device_get(last_loss))
+                    # everything the device had queued (H2D + steps) drained
+                    # in the two fetches above: that wait is the Sync phase
+                    sync_dt = time.time() - t_sync
                     if not np.isfinite(lv):
                         raise FloatingPointError(
                             f"non-finite loss {lv} at epoch {epoch} "
@@ -385,6 +408,7 @@ def fit(model, config, task, train_loader, steps_per_epoch, *,
                                         f"Initial-LR/Group_{gi}",
                                         float(base_lr) * float(mult),
                                         global_step)
+                speedo.phase(data_dt, step_dt, tran_dt, sync_dt)
                 speedo(epoch, i, acc.format())
                 if profiling and global_step >= 20:
                     jax.profiler.stop_trace()

@@ -21,6 +21,7 @@ behavior when untouched.
 from __future__ import annotations
 
 import copy
+import os
 
 import yaml
 
@@ -297,8 +298,11 @@ def _common_config():
     # threshold compare (half the PRNG words of bernoulli, no int->float
     # pass; keep-prob quantized to 1/65536 — measured 33 ms/step of
     # threefry-bernoulli mask cost on the v5e VQA fine-tune step);
-    # 'ref' = jax.random.bernoulli, bit-identical to flax nn.Dropout
-    tp.DROPOUT_IMPL = "bits16"
+    # 'ref' = jax.random.bernoulli, bit-identical to flax nn.Dropout;
+    # 'pallas' = TPU hardware-PRNG kernel (bits generated in VMEM, backward
+    # regenerates the mask from a 32-bit seed — no mask residuals).
+    # env override exists for A/B harnesses (tools/profile_step.py)
+    tp.DROPOUT_IMPL = os.environ.get("VLBERT_DROPOUT_IMPL", "bits16")
     # single [H, 3H] QKV projection: measured 23% faster encoder backward on
     # v5e (17.7 vs 23.1 ms at [32, 85]); reference checkpoints are fused on
     # load by training/convert.fuse_qkv_params
