@@ -121,3 +121,40 @@ def test_scan_encoder_matches_unrolled(rng):
     out = np.asarray(enc.apply(p, x, bias))
     out_scan = np.asarray(enc_scan.apply({"params": new_params}, x, bias))
     np.testing.assert_allclose(out_scan, out, rtol=1e-5, atol=1e-6)
+
+
+def test_attn_remat_matches_plain(rng):
+    """TPU.ATTN_REMAT saves only (q,k,v,bias,key) and regenerates the
+    attention core (scores/softmax/dropout-mask) in the backward. Same
+    params + same dropout rng stream must therefore give the same output
+    and grads with remat on/off — in eval AND train (dropout active)
+    mode, since the dropout key is drawn OUTSIDE the remat boundary and
+    the replayed jax.random.bits(key) mask is deterministic."""
+    from vlbert_tpu.models.bert import BertEncoder
+
+    HID, HEADS, L, B = 32, 4, 11, 2
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[1, 8:] = 0
+    bias = jnp.asarray(((1 - mask) * -10000.0)[:, None, None, :])
+
+    kw = dict(num_layers=2, num_heads=HEADS, hidden_size=HID,
+              intermediate_size=64, hidden_act="gelu",
+              attention_dropout=0.3, hidden_dropout=0.0,
+              initializer_range=0.02)
+    enc = BertEncoder(attn_remat=False, **kw)
+    enc_r = BertEncoder(attn_remat=True, **kw)
+    params = enc.init(jax.random.PRNGKey(0), x, bias)
+
+    for det in (True, False):
+        rngs = {} if det else {"dropout": jax.random.PRNGKey(5)}
+
+        def loss(module, xx):
+            return jnp.sum(module.apply(params, xx, bias, deterministic=det,
+                                        rngs=rngs) ** 2)
+
+        v0, g0 = jax.value_and_grad(lambda xx: loss(enc, xx))(x)
+        v1, g1 = jax.value_and_grad(lambda xx: loss(enc_r, xx))(x)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-5, atol=1e-6)

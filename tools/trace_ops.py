@@ -63,19 +63,20 @@ def summarize(rows, top=40):
         return 0.0
 
     def name(r):
-        for k in ("HLO Op Name", "hlo_op_name", "Op Name", "program_id"):
+        for k in ("HLO op name", "HLO Op Name", "hlo_op_name", "Op Name"):
             if r.get(k):
                 return str(r[k])
         return "?"
 
     def cat(r):
-        for k in ("HLO Op Category", "hlo_category", "Category"):
+        for k in ("HLO op category", "HLO Op Category", "hlo_category",
+                  "Category"):
             if r.get(k):
                 return str(r[k])
         return "?"
 
-    t_keys = ("Total Self Time (us)", "total_self_time_us",
-              "Avg. self time (us)", "occurrences")
+    t_keys = ("Total self time (us)", "Total Self Time (us)",
+              "total_self_time_us")
     rows = [r for r in rows if num(r, *t_keys) > 0]
     rows.sort(key=lambda r: -num(r, *t_keys))
     total = sum(num(r, *t_keys) for r in rows)
@@ -89,10 +90,22 @@ def summarize(rows, top=40):
     print(f"\n-- top {top} ops --")
     for r in rows[:top]:
         t = num(r, *t_keys)
-        print(f"{t/1e3:9.2f} ms  {100*t/total:5.1f}%  [{cat(r)}] {name(r)[:90]}")
+        occ = int(num(r, "#Occurrences") or 1)
+        bound = r.get("Bound by") or "?"
+        src = str(r.get("Source Info") or "")
+        if "title" in src:      # strip the html wrapper around the path
+            src = src.split(">")[-2].split("<")[0] if ">" in src else src
+        fw = str(r.get("Framework op name") or "")[:48]
+        print(f"{t/1e3:9.2f} ms  {100*t/total:5.1f}%  x{occ:<3d} "
+              f"[{cat(r)}|{bound}] {name(r)[:40]} {fw} {src[-40:]}")
     return {"total_us": total, "by_category_us": by_cat,
             "top_ops": [{"name": name(r), "category": cat(r),
-                         "self_us": num(r, *t_keys)} for r in rows[:top]]}
+                         "self_us": num(r, *t_keys),
+                         "occurrences": int(num(r, "#Occurrences") or 1),
+                         "bound_by": r.get("Bound by"),
+                         "framework_op": r.get("Framework op name"),
+                         "source": str(r.get("Source Info") or "")[-120:]}
+                        for r in rows[:top]]}
 
 
 def main(argv=None):

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vlbert_tpu.ops.dropout import Dropout
+from vlbert_tpu.ops.dropout import Dropout, dropout_apply
 
 ACT2FN = {
     # exact erf gelu (ref: modeling.py:114-120), NOT the tanh approximation
@@ -93,6 +93,7 @@ class BertSelfAttention(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False
     fused_qkv: bool = False
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, hidden, attention_bias, deterministic=True,
@@ -121,21 +122,57 @@ class BertSelfAttention(nn.Module):
             ctx = fused_attention(q, k, v, attention_bias)
             return ctx.reshape(B, L, self.hidden_size).astype(self.dtype)
 
-        # scores in fp32 for a numerically stable softmax
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(head_dim)
-        scores = scores + attention_bias.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs_out = probs
-        probs = Dropout(rate=self.dropout_rate)(probs, deterministic=deterministic)
-        probs = probs.astype(self.dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(self.dtype),
-                         preferred_element_type=jnp.float32)
-        ctx = ctx.reshape(B, L, self.hidden_size).astype(self.dtype)
         if output_attention_probs:
-            return ctx, probs_out
-        return ctx
+            # vis path: probs must survive to the caller, so no remat
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(head_dim)
+            scores = scores + attention_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs_out = probs
+            probs = Dropout(rate=self.dropout_rate)(
+                probs, deterministic=deterministic)
+            probs = probs.astype(self.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(self.dtype),
+                             preferred_element_type=jnp.float32)
+            return ctx.reshape(B, L, self.hidden_size).astype(self.dtype), \
+                probs_out
+
+        # dropout key drawn OUTSIDE the remat boundary so the backward
+        # regenerates the identical mask from the (tiny) saved key
+        dropout_key = None
+        if not deterministic and self.dropout_rate > 0.0:
+            dropout_key = self.make_rng("dropout")
+
+        def _core(q, k, v, bias, key):
+            # scores in fp32 for a numerically stable softmax
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(head_dim)
+            scores = scores + bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            if key is not None:
+                probs = dropout_apply(probs, key, self.dropout_rate)
+            probs = probs.astype(self.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(self.dtype),
+                              preferred_element_type=jnp.float32)
+
+        core = _core
+        if self.attn_remat:
+            # flash-attention MEMORY behavior without the kernel: save only
+            # (q, k, v, bias, key), regenerate scores/probs/mask in the
+            # backward (~650 MB fewer residuals at VQA B=64). Measured
+            # SLOWER on v5e (VQA B=64: 79.2 vs 69.7 ms/step): XLA's
+            # softmax-backward re-materializes the [B,H,L,L] probs in HBM
+            # anyway (it cannot tile the recompute like a real flash
+            # kernel), so the fwd-probs store is merely replaced by a
+            # bwd-probs store and the recompute is pure overhead. Off by
+            # default (TPU.ATTN_REMAT); the knob remains for memory-bound
+            # configs where activations, not time, are the constraint.
+            core = jax.checkpoint(
+                _core, policy=jax.checkpoint_policies.nothing_saveable)
+        ctx = core(q, k, v, attention_bias, dropout_key)
+        return ctx.reshape(B, L, self.hidden_size).astype(self.dtype)
 
 
 class BertAttention(nn.Module):
@@ -149,6 +186,7 @@ class BertAttention(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False
     fused_qkv: bool = False
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
@@ -156,6 +194,7 @@ class BertAttention(nn.Module):
         attn = BertSelfAttention(
             self.num_heads, self.hidden_size, self.attention_dropout,
             self.initializer_range, self.dtype, self.fused, self.fused_qkv,
+            attn_remat=self.attn_remat,
             name="self")(
                 x, attention_bias, deterministic, output_attention_probs)
         probs = None
@@ -184,6 +223,7 @@ class BertLayer(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False
     fused_qkv: bool = False
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
@@ -191,7 +231,8 @@ class BertLayer(nn.Module):
         attn_out = BertAttention(
             self.num_heads, self.hidden_size, self.attention_dropout,
             self.hidden_dropout, self.initializer_range, self.dtype,
-            self.fused, self.fused_qkv, name="attention")(x, attention_bias, deterministic,
+            self.fused, self.fused_qkv, attn_remat=self.attn_remat,
+            name="attention")(x, attention_bias, deterministic,
                               output_attention_probs)
         probs = None
         if output_attention_probs:
@@ -222,6 +263,7 @@ class _BertLayerScanBody(nn.Module):
     fused: bool = False
     fused_qkv: bool = False
     deterministic: bool = True
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias):
@@ -229,6 +271,7 @@ class _BertLayerScanBody(nn.Module):
             self.num_heads, self.hidden_size, self.intermediate_size,
             self.hidden_act, self.attention_dropout, self.hidden_dropout,
             self.initializer_range, self.dtype, self.fused, self.fused_qkv,
+            attn_remat=self.attn_remat,
             name="layer")(x, attention_bias, self.deterministic, False)
         return out, None
 
@@ -262,6 +305,7 @@ class BertEncoder(nn.Module):
     fused: bool = False
     fused_qkv: bool = False
     scan_layers: bool = False
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, x, attention_bias, deterministic=True,
@@ -283,7 +327,8 @@ class BertEncoder(nn.Module):
                 self.num_heads, self.hidden_size, self.intermediate_size,
                 self.hidden_act, self.attention_dropout, self.hidden_dropout,
                 self.initializer_range, self.dtype, self.fused,
-                self.fused_qkv, deterministic, name="layers")(
+                self.fused_qkv, deterministic,
+                attn_remat=self.attn_remat, name="layers")(
                     x, attention_bias)
             return out
 
@@ -297,7 +342,8 @@ class BertEncoder(nn.Module):
                 self.num_heads, self.hidden_size, self.intermediate_size,
                 self.hidden_act, self.attention_dropout, self.hidden_dropout,
                 self.initializer_range, self.dtype, self.fused,
-                self.fused_qkv, name=f"layer_{i}")
+                self.fused_qkv, attn_remat=self.attn_remat,
+                name=f"layer_{i}")
             x = layer(x, attention_bias, deterministic, output_attention_probs)
             if output_attention_probs:
                 x, probs = x

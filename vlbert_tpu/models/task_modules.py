@@ -781,10 +781,12 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
     fused = False
     fused_qkv = False
     scan_layers = False
+    attn_remat = False
     if "TPU" in config:
         fused = bool(config.TPU.get("FUSED_ATTENTION", False))
         fused_qkv = bool(config.TPU.get("FUSED_QKV", False))
         scan_layers = bool(config.TPU.get("SCAN_LAYERS", False))
+        attn_remat = bool(config.TPU.get("ATTN_REMAT", False))
         # process-global dropout mask implementation (ops/dropout.py);
         # per-module `impl=` attributes still override
         import vlbert_tpu.ops.dropout as dropout_lib
@@ -794,7 +796,8 @@ def build_module(config, task, dtype=jnp.bfloat16, remat=False, **kwargs):
         config.NETWORK.VLBERT, dtype=dtype, remat=remat,
         fused_attention=kwargs.get("fused_attention", fused),
         fused_qkv=kwargs.get("fused_qkv", fused_qkv),
-        scan_layers=kwargs.get("scan_layers", scan_layers))
+        scan_layers=kwargs.get("scan_layers", scan_layers),
+        attn_remat=kwargs.get("attn_remat", attn_remat))
     if not isinstance(config, FrozenConfig):
         config = FrozenConfig(config)
     cls = MODULES[key]

@@ -82,11 +82,12 @@ class VLBertConfig:
     fused_attention: bool = False
     fused_qkv: bool = False
     scan_layers: bool = False
+    attn_remat: bool = False
 
     @classmethod
     def from_attrdict(cls, d, dtype=jnp.float32, remat=False,
                       fused_attention=False, fused_qkv=False,
-                      scan_layers=False):
+                      scan_layers=False, attn_remat=False):
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in fields}
         kwargs["dtype"] = dtype
@@ -94,6 +95,7 @@ class VLBertConfig:
         kwargs["fused_attention"] = fused_attention
         kwargs["fused_qkv"] = fused_qkv
         kwargs["scan_layers"] = scan_layers
+        kwargs["attn_remat"] = attn_remat
         return cls(**kwargs)
 
 
@@ -166,6 +168,7 @@ class VisualLinguisticBert(nn.Module):
             fused=c.fused_attention,
             fused_qkv=c.fused_qkv,
             scan_layers=c.scan_layers,
+            attn_remat=c.attn_remat,
             name="encoder")
         if c.with_pooler:
             self.pooler = BertPooler(

@@ -136,6 +136,51 @@ except ImportError:             # pragma: no cover
     pl = pltpu = None
 
 
+def dropout_apply(x, key, rate, impl=None):
+    """Pure-function dropout: the module body without the flax plumbing.
+
+    Exists so rematerialized blocks (e.g. the attention core in
+    models/bert.py) can regenerate the identical mask from ``key`` in the
+    backward pass instead of storing mask residuals — the caller draws
+    ``key`` via ``make_rng`` OUTSIDE the remat boundary and closes over it.
+    """
+    rate = float(rate)
+    if rate == 0.0:
+        return x
+    if rate == 1.0:
+        return jnp.zeros_like(x)
+    impl = impl or DEFAULT_IMPL
+    if impl == "pallas":
+        # TPU-only: no interpret-mode prng_seed lowering in this JAX
+        # build; giant inner dims can't fit one VMEM block row
+        if (pl is None or not _on_tpu()
+                or x.ndim == 0 or x.shape[-1] > _PALLAS_BLOCK_ELEMS):
+            impl = "bits16"
+        else:
+            seed = jax.random.bits(key, (1,), jnp.uint32)
+            return hw_dropout(x, seed.astype(jnp.int32), rate)
+    if impl == "ref":
+        # exactly flax nn.Dropout: bernoulli mask + division by the
+        # keep prob (x/p and x*(1/p) differ in the last ulp)
+        keep_prob = 1.0 - rate
+        keep = jax.random.bernoulli(key, keep_prob, x.shape)
+        return jax.lax.select(keep, x / keep_prob, jnp.zeros_like(x))
+    elif impl == "bits16":
+        # drop iff bits < round(rate * 2**16): P(keep) is within
+        # 2**-17 of (1 - rate); no float conversion of the bits.
+        # (Measured on v5e, VQA step B=64: generating HALF as many
+        # uint32 words into a flat buffer and bitcasting to uint16
+        # pairs is 2.1x SLOWER overall — the 1D->4D relayout swamps
+        # the saved generator work. Shaped uint16 generation wins.)
+        thresh = int(round(rate * 65536.0))
+        bits = jax.random.bits(key, x.shape, dtype=jnp.uint16)
+        keep = bits >= jnp.uint16(thresh)
+    else:
+        raise ValueError(f"unknown dropout impl {impl!r}")
+    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    return jax.lax.select(keep, x * scale, jnp.zeros_like(x))
+
+
 class Dropout(nn.Module):
     """Drop-in replacement for ``flax.linen.Dropout`` (rate semantics)."""
 
@@ -149,34 +194,5 @@ class Dropout(nn.Module):
             return x
         if self.rate == 1.0:
             return jnp.zeros_like(x)
-        impl = self.impl or DEFAULT_IMPL
         key = self.make_rng(self.rng_collection)
-        if impl == "pallas":
-            # TPU-only: no interpret-mode prng_seed lowering in this JAX
-            # build; giant inner dims can't fit one VMEM block row
-            if (pl is None or not _on_tpu()
-                    or x.ndim == 0 or x.shape[-1] > _PALLAS_BLOCK_ELEMS):
-                impl = "bits16"
-            else:
-                seed = jax.random.bits(key, (1,), jnp.uint32)
-                return hw_dropout(x, seed.astype(jnp.int32), float(self.rate))
-        if impl == "ref":
-            # exactly flax nn.Dropout: bernoulli mask + division by the
-            # keep prob (x/p and x*(1/p) differ in the last ulp)
-            keep_prob = 1.0 - self.rate
-            keep = jax.random.bernoulli(key, keep_prob, x.shape)
-            return jax.lax.select(keep, x / keep_prob, jnp.zeros_like(x))
-        elif impl == "bits16":
-            # drop iff bits < round(rate * 2**16): P(keep) is within
-            # 2**-17 of (1 - rate); no float conversion of the bits.
-            # (Measured on v5e, VQA step B=64: generating HALF as many
-            # uint32 words into a flat buffer and bitcasting to uint16
-            # pairs is 2.1x SLOWER overall — the 1D->4D relayout swamps
-            # the saved generator work. Shaped uint16 generation wins.)
-            thresh = int(round(float(self.rate) * 65536.0))
-            bits = jax.random.bits(key, x.shape, dtype=jnp.uint16)
-            keep = bits >= jnp.uint16(thresh)
-        else:
-            raise ValueError(f"unknown dropout impl {impl!r}")
-        scale = jnp.asarray(1.0 / (1.0 - self.rate), x.dtype)
-        return jax.lax.select(keep, x * scale, jnp.zeros_like(x))
+        return dropout_apply(x, key, self.rate, self.impl)

@@ -307,6 +307,15 @@ def _common_config():
     # v5e (17.7 vs 23.1 ms at [32, 85]); reference checkpoints are fused on
     # load by training/convert.fuse_qkv_params
     tp.FUSED_QKV = True
+    # rematerialize the attention core (QK^T+softmax+prob-dropout+PV):
+    # save only (q,k,v,bias,key) between fwd and bwd and regenerate the
+    # fp32 [B,H,L,L] probs + dropout mask in the backward (~650 MB fewer
+    # residuals at VQA B=64). MEASURED SLOWER on v5e (79.2 vs 69.7 ms/step,
+    # VQA B=64): XLA's softmax-backward re-materializes probs in HBM anyway
+    # — without flash-style tiling the fwd store is just replaced by a bwd
+    # store plus recompute. Keep off unless activation memory binds.
+    tp.ATTN_REMAT = os.environ.get("VLBERT_ATTN_REMAT", "0") \
+        not in ("0", "false")
     # nn.scan over encoder layers: ~num_layers x faster train-step compiles
     # (attention-vis and per-layer outputs need the unrolled path); params
     # stack as encoder.layers.layer.[L, ...] (convert.stack_layer_params)
