@@ -44,11 +44,13 @@ The round-1/2 anchor (an unmeasured "120 img/s A100 estimate") is kept in
 details["legacy_vs_estimated_a100"] for continuity only.
 """
 
+import gc
 import json
 import os
 import sys
 import threading
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -92,6 +94,31 @@ def _free(*trees):
                 pass
 
 
+def _post_oom_cleanup(exc):
+    """Release everything a failed rung can still pin.
+
+    The traceback's frames hold the rung's locals (multi-GB staged inputs,
+    train states) and exception<->frame reference CYCLES keep them alive
+    until a cyclic GC pass — which effectively never fires on its own,
+    because device arrays look tiny to the Python allocator. This leak
+    cascaded in the 2026-08-19 full run: the vqa B=256 OOM pinned ~GBs, so
+    every later rung AND the pretrain/serve sections OOM'd too.
+    """
+    try:
+        traceback.clear_frames(exc.__traceback__)
+    except Exception:
+        pass
+    exc.__traceback__ = None
+    gc.collect()
+    try:
+        import jax
+
+        jax.clear_caches()   # drop compiled programs of the failed shape
+    except Exception:
+        pass
+    gc.collect()
+
+
 def _with_degrade(fn, attempts, name):
     """Run fn(**kw) down a degradation ladder on RESOURCE_EXHAUSTED.
 
@@ -109,7 +136,10 @@ def _with_degrade(fn, attempts, name):
             return r
         except Exception as e:  # noqa: BLE001 — bench must never crash
             last = repr(e)[:500]
-            if not _is_oom(e):
+            oom = _is_oom(e)
+            _post_oom_cleanup(e)
+            del e
+            if not oom:
                 return {"error": f"{name}: {last}"}
             print(f"bench: {name} OOM at {kw}, degrading", file=sys.stderr)
     return {"error": f"{name}: RESOURCE_EXHAUSTED at all degradation "
@@ -152,19 +182,29 @@ def _staged_images(base_np, n):
     import jax
     import numpy as np
 
-    if base_np.dtype == np.uint8:
-        base16 = base_np.astype(np.int16)
-        imgs = [jax.device_put(((base16 + i) % 256).astype(np.uint8))
-                for i in range(n)]
-    else:
-        # float wire leaves (e.g. precomputed ROI features): a RELATIVE
-        # perturbation defeats dispatch dedupe without changing the compute
-        # shape. (An additive 1e-3 is below float32 ulp for values >~8k and
-        # would silently stage identical tensors — ADVICE r3.)
-        imgs = [jax.device_put((base_np * (1.0 + np.float32(i) * 1e-4)
-                                + np.float32(i) * 1e-3)
-                               .astype(base_np.dtype)) for i in range(n)]
-    jax.block_until_ready(imgs)
+    imgs = []
+    try:
+        if base_np.dtype == np.uint8:
+            base16 = base_np.astype(np.int16)
+            for i in range(n):
+                imgs.append(jax.device_put(
+                    ((base16 + i) % 256).astype(np.uint8)))
+        else:
+            # float wire leaves (e.g. precomputed ROI features): a RELATIVE
+            # perturbation defeats dispatch dedupe without changing the
+            # compute shape. (An additive 1e-3 is below float32 ulp for
+            # values >~8k and would silently stage identical tensors —
+            # ADVICE r3.)
+            for i in range(n):
+                imgs.append(jax.device_put(
+                    (base_np * (1.0 + np.float32(i) * 1e-4)
+                     + np.float32(i) * 1e-3).astype(base_np.dtype)))
+        jax.block_until_ready(imgs)
+    except BaseException:
+        # a mid-loop OOM must not leak the partial multi-GB staging list
+        # into the traceback (it pins HBM for every later rung/section)
+        _free(imgs)
+        raise
     return imgs
 
 
@@ -322,16 +362,17 @@ def train_bench(B=4, accum=1, large=False, IMG=608, O=36, C=4, T=48,
     rep = replicated(mesh)
     jit_step = jax.jit(step, donate_argnums=(0,),
                        out_shardings=(rep, rep, rep))
+    sb = None
     try:
         with mesh:
             state = jax.device_put(state, rep)
             sb = shard_batch(batch, mesh, batch_dim=0 if accum == 1 else 1)
             dt, flops = _measure_step_slope(step, jit_step, state, sb, k1, k2)
     finally:
-        try:
-            _free(sb, state)
-        except NameError:
-            pass
+        # free each independently: an OOM before `sb` exists must not
+        # leave `state` pinned (the NameError used to abort both)
+        _free(sb)
+        _free(state)
     if flops and flops * accum / dt / V5E_PEAK_BF16 > 1.0:
         raise RuntimeError(
             f"impossible MFU {flops * accum / dt / V5E_PEAK_BF16:.2f} > 1 — "
@@ -410,6 +451,7 @@ def vqa_train_bench(B=64, O=100, T=64, F=2048, n_ans=3129, k1=4, k2=12,
     rep = replicated(mesh)
     jit_step = jax.jit(step, donate_argnums=(0,),
                        out_shardings=(rep, rep, rep))
+    sb = None
     try:
         with mesh:
             state = jax.device_put(state, rep)
@@ -418,10 +460,8 @@ def vqa_train_bench(B=64, O=100, T=64, F=2048, n_ans=3129, k1=4, k2=12,
             dt, flops = _measure_step_slope(step, jit_step, state, sb,
                                             k1, k2, vary_idx=1)
     finally:
-        try:
-            _free(sb, state)
-        except NameError:
-            pass
+        _free(sb)
+        _free(state)
     if flops and flops / dt / V5E_PEAK_BF16 > 1.0:
         raise RuntimeError(
             f"impossible MFU {flops / dt / V5E_PEAK_BF16:.2f} > 1 — timing "
@@ -499,16 +539,16 @@ def pretrain_bench(B=8, aux_B=8, IMG=608, O=36, T=64, k1=3, k2=9):
     rep = replicated(mesh)
     jit_step = jax.jit(step, donate_argnums=(0,),
                        out_shardings=(rep, rep, rep))
+    sb = None
     try:
         with mesh:
             state = jax.device_put(state, rep)
             sb = shard_batch(batch, mesh)
             dt, flops = _measure_step_slope(step, jit_step, state, sb, k1, k2)
     finally:
-        try:
-            _free(sb, state)
-        except NameError:
-            pass
+        _free(sb)
+        _free(state)
+        _free(batch)   # _pretrain_batch stages jnp leaves on device
     if flops and flops / dt / V5E_PEAK_BF16 > 1.0:
         raise RuntimeError(
             f"impossible MFU {flops / dt / V5E_PEAK_BF16:.2f} > 1 — "
@@ -832,13 +872,28 @@ def main(argv=None):
     if "--selftest-wedge" in argv:  # test hook: wedge mid-run so the
         time.sleep(1e9)             # watchdog path can be exercised
 
-    fwd = _with_degrade(fwd_bench, [
+    def _section(name, fn, ladder):
+        details[name] = _with_degrade(fn, ladder, name)
+        # collect between sections: a section's internal exception cycles
+        # (even recovered ones) can pin device buffers that the next
+        # section then OOMs on — observed 2026-08-19
+        gc.collect()
+        try:        # residual-HBM telemetry: any leak shows up here
+            import jax
+
+            n = sum(a.nbytes for a in jax.live_arrays())
+            print(f"bench: after {name}: {n / 1e9:.2f} GB in "
+                  f"{len(jax.live_arrays())} live arrays", file=sys.stderr)
+        except Exception:
+            pass
+
+    _section("fwd", fwd_bench, [
         dict(B=16, k1=6, k2=18),
         dict(B=16, k1=4, k2=10),
         dict(B=8, k1=4, k2=10),
         dict(B=4, k1=3, k2=7),
-    ], "fwd")
-    details["fwd"] = fwd
+    ])
+    fwd = details["fwd"]
 
     quick = "--quick" in argv       # fwd + default train step only
     sections = [("train_step", [dict(B=4, accum=1),
@@ -864,7 +919,7 @@ def main(argv=None):
                                   dict(B=2, accum=1, large=True, k1=3, k2=7)]),
         ]
     for name, ladder in sections:
-        details[name] = _with_degrade(train_bench, ladder, name)
+        _section(name, train_bench, ladder)
 
     if not quick:
         # VQA precomputed-feature fine-tune (tracked config #2):
@@ -873,13 +928,13 @@ def main(argv=None):
         # question length ~16; round 3 benched T=64 and burned ~75% of
         # encoder capacity on padding -> MFU 0.256). B ladder extended to
         # 256 per VERDICT r3 item 2.
-        details["train_step_vqa"] = _with_degrade(vqa_train_bench, [
+        _section("train_step_vqa", vqa_train_bench, [
             dict(B=256, T=32, k1=3, k2=9),
             dict(B=128, T=32, k1=4, k2=12),
             dict(B=64, T=32, k1=4, k2=12),
             dict(B=32, T=32, k1=4, k2=12),
             dict(B=16, T=32, k1=3, k2=9),
-        ], "train_step_vqa")
+        ])
 
     if quick and "--pretrain" not in argv:
         pretrain_ladder = None
@@ -894,17 +949,15 @@ def main(argv=None):
             dict(B=4, aux_B=4, k1=2, k2=5),
         ]
     if pretrain_ladder:
-        details["pretrain_step"] = _with_degrade(pretrain_bench,
-                                                 pretrain_ladder,
-                                                 "pretrain_step")
+        _section("pretrain_step", pretrain_bench, pretrain_ladder)
 
     if not quick:
         # batch-1 VQA serving latency (BASELINE.json: p50 tracked) — one
         # compile + 40 queries, cheap enough to capture by default
-        details["serve_latency"] = _with_degrade(serve_bench, [
+        _section("serve_latency", serve_bench, [
             dict(n_queries=40),
             dict(n_queries=12),
-        ], "serve_latency")
+        ])
 
     dog.cancel()
     _emit(details)

@@ -1204,6 +1204,58 @@ def test_bench_degrade_ladder_on_oom():
     assert "error" in r and "not an OOM" in r["error"]
 
 
+def test_bench_oom_cleanup_releases_rung_locals():
+    """An OOM'd rung's locals (multi-GB staged inputs / train states) must
+    not stay pinned by traceback frame cycles while later rungs run — that
+    cascade turned one vqa B=256 OOM into RESOURCE_EXHAUSTED for every
+    later rung AND the pretrain/serve sections (full run, 2026-08-19)."""
+    import weakref
+
+    import bench
+
+    class Pinned:   # weakref-able stand-in for a staged-input list
+        pass
+
+    ref = {}
+
+    def rung(**kw):
+        if "w" not in ref:
+            pinned = Pinned()
+            ref["w"] = weakref.ref(pinned)
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        assert ref["w"]() is None, \
+            "previous rung's locals still alive while this rung runs"
+        return {"img_per_s": 1.0}
+
+    r = bench._with_degrade(rung, [dict(B=2), dict(B=1)], "x")
+    assert r["img_per_s"] == 1.0 and ref["w"]() is None
+
+
+def test_bench_staged_images_frees_partial_on_oom(monkeypatch):
+    """A mid-loop staging OOM must immediately free the already-staged
+    copies instead of leaking them into the traceback."""
+    import jax
+
+    import bench
+
+    n_puts = {"n": 0}
+    real_put = jax.device_put
+
+    def flaky_put(x):
+        n_puts["n"] += 1
+        if n_puts["n"] == 3:
+            raise RuntimeError("RESOURCE_EXHAUSTED: staging")
+        return real_put(x)
+
+    freed = []
+    monkeypatch.setattr(jax, "device_put", flaky_put)
+    monkeypatch.setattr(bench, "_free", lambda *t: freed.extend(t))
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        bench._staged_images(np.zeros((2, 2, 2, 3), np.uint8), 5)
+    assert len(freed) == 1 and len(freed[0]) == 2, \
+        "partial staging list was not freed on the OOM path"
+
+
 def test_bench_main_always_emits_json(monkeypatch, capsys, tmp_path):
     """BENCH_r02 was rc=1 with no JSON. main() must print a parseable line
     and return 0 even if every section raises."""

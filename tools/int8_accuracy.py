@@ -103,7 +103,16 @@ def _compare(model, params, batch, logits_key="label_logits"):
     delta = np.abs(q - full)
     top2 = np.sort(full, axis=-1)[..., -2:]
     margin = (top2[..., 1] - top2[..., 0])        # per-sample top1-top2 gap
-    flips = int(np.sum(np.argmax(q, -1) != np.argmax(full, -1)))
+    flipped = np.argmax(q, -1) != np.argmax(full, -1)
+    # A flip is only EVIDENCE of a quantization problem when the fp32
+    # top-2 margin exceeds what the measured perturbation could explain:
+    # moving top1 down by delta and top2 up by delta closes a gap of at
+    # most 2*delta. With random weights a 3129-way head regularly has
+    # samples whose margin (~0.02) is below 2*max_delta (~0.07) — those
+    # ties can flip under ANY epsilon perturbation and say nothing about
+    # int8 (observed: 1 such tie-flip at B=4, 0 at B=8).
+    per_sample_delta = delta.max(-1)
+    unsafe = flipped & (margin > 2.0 * per_sample_delta)
     acct = quantized_bytes(qp)
     return {
         "n_samples": int(full.shape[0]),
@@ -112,7 +121,8 @@ def _compare(model, params, batch, logits_key="label_logits"):
         "mean_abs_logit_delta": float(delta.mean()),
         "logit_std": float(full.std()),
         "min_top2_margin": float(margin.min()),
-        "argmax_flips": flips,
+        "argmax_flips": int(flipped.sum()),
+        "argmax_flips_beyond_margin": int(unsafe.sum()),
         "hbm_bytes_int8": acct["quantized_bytes"],
         "hbm_bytes_fp32": acct["fp32_bytes"],
     }, full, q, margin, delta
