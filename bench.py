@@ -119,6 +119,46 @@ def _post_oom_cleanup(exc):
     gc.collect()
 
 
+# One RESOURCE_EXHAUSTED permanently poisons this TPU plugin's backend for
+# the rest of the PROCESS: after any OOM, every subsequent device op — even
+# a 512x512 elementwise add after gc.collect()+jax.clear_caches() — fails
+# with RESOURCE_EXHAUSTED, while a fresh process sees a healthy chip
+# (probed directly 2026-08-19: /tmp/poison_probe2.py; this is why the
+# 09:37 and 14:4x full runs lost vqa/pretrain/serve after one legitimate
+# vqa B=256 OOM despite live_arrays()==0). The degradation ladder's core
+# assumption — OOM is recoverable in-process — is therefore false here:
+# once poisoned, every remaining rung runs in an isolated child process.
+_POISONED = {"flag": False}
+
+
+def _run_rung_isolated(fn_name, kw, name, timeout=None):
+    """Run one ladder rung in a fresh python process (fresh backend).
+
+    The child re-executes bench.py with --rung; it prints exactly one JSON
+    line: {"ok": result} | {"oom": true, "error": ...} | {"error": ...}.
+    Returns that dict; subprocess-level failures map to {"error": ...}.
+    """
+    import subprocess
+
+    timeout = timeout or float(os.environ.get("BENCH_RUNG_TIMEOUT_S", "900"))
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--rung", fn_name, "--kw", json.dumps(kw)]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"error": f"{name}: isolated rung timed out after "
+                         f"{timeout:g}s at {kw}"}
+    for ln in reversed(p.stdout.strip().splitlines() or [""]):
+        if ln.startswith("{"):
+            try:
+                return json.loads(ln)
+            except ValueError:
+                break
+    return {"error": f"{name}: isolated rung rc={p.returncode}, "
+                     f"no JSON; stderr tail: {p.stderr[-400:]}"}
+
+
 def _with_degrade(fn, attempts, name):
     """Run fn(**kw) down a degradation ladder on RESOURCE_EXHAUSTED.
 
@@ -126,9 +166,30 @@ def _with_degrade(fn, attempts, name):
     successful result (annotated with "degraded" if not attempt 0), or an
     {"error": ...} dict if every rung OOMs. Non-OOM errors also degrade to
     an error dict — the bench must always emit its JSON line.
+
+    Once any rung OOMs, this process's backend is poisoned (see _POISONED)
+    and every later attempt — in this section and all later sections — runs
+    via _run_rung_isolated in a fresh process. Only registered bench
+    section functions can be isolated; test doubles keep the in-process
+    path.
     """
     last = None
+    isolatable = _RUNG_FNS.get(getattr(fn, "__name__", "")) is fn
     for i, kw in enumerate(attempts):
+        if _POISONED["flag"] and isolatable:
+            r = _run_rung_isolated(fn.__name__, kw, name)
+            if "ok" in r:
+                out = r["ok"]
+                out["isolated"] = True
+                if i > 0:
+                    out["degraded"] = {"attempt": i, **kw}
+                return out
+            last = r.get("error", "")[:500]
+            if not r.get("oom"):
+                return {"error": f"{name}: {last}"}
+            print(f"bench: {name} OOM (isolated) at {kw}, degrading",
+                  file=sys.stderr)
+            continue
         try:
             r = fn(**kw)
             if i > 0:
@@ -141,7 +202,14 @@ def _with_degrade(fn, attempts, name):
             del e
             if not oom:
                 return {"error": f"{name}: {last}"}
-            print(f"bench: {name} OOM at {kw}, degrading", file=sys.stderr)
+            if isolatable and not _POISONED["flag"]:
+                _POISONED["flag"] = True
+                print(f"bench: {name} OOM at {kw} — backend poisoned; "
+                      "all remaining rungs run in isolated processes",
+                      file=sys.stderr)
+            else:
+                print(f"bench: {name} OOM at {kw}, degrading",
+                      file=sys.stderr)
     return {"error": f"{name}: RESOURCE_EXHAUSTED at all degradation "
                      f"levels; last: {last}"}
 
@@ -816,8 +884,36 @@ def serve_bench(n_queries=40, max_text=64, max_boxes=108):
     return r
 
 
+# sections that --rung child processes may execute by name (the isolation
+# path after a poisoning OOM; see _with_degrade)
+_RUNG_FNS = {
+    "fwd_bench": fwd_bench,
+    "train_bench": train_bench,
+    "vqa_train_bench": vqa_train_bench,
+    "pretrain_bench": pretrain_bench,
+    "serve_bench": serve_bench,
+}
+
+
+def _rung_child(fn_name, kw_json):
+    """--rung mode: run ONE ladder rung in this (fresh) process and print
+    exactly one JSON result line for the parent. Always exits 0 — the
+    parent distinguishes OOM / error / ok from the payload."""
+    _enable_compile_cache()
+    try:
+        kw = json.loads(kw_json)
+        r = _RUNG_FNS[fn_name](**kw)
+        out = {"ok": r}
+    except Exception as e:  # noqa: BLE001 — the parent needs a verdict
+        out = {"oom": True, "error": repr(e)[:500]} if _is_oom(e) \
+            else {"error": f"{fn_name}: {repr(e)[:500]}"}
+    print(json.dumps(out), flush=True)
+    return 0
+
+
 def main(argv=None):
     global _EMITTED, _EMIT_DONE
+    _POISONED["flag"] = False
     _EMITTED = threading.Lock()     # fresh exactly-once guard per run
     _EMIT_DONE = threading.Event()
     argv = sys.argv[1:] if argv is None else argv
@@ -831,7 +927,10 @@ def main(argv=None):
         "(block_until_ready can return early on this plugin -> impossible "
         "MFU>1 readings, rejected); MFU = XLA cost_analysis flops / wall / "
         "197e12 (v5e bf16 peak); every section catches RESOURCE_EXHAUSTED "
-        "and degrades (fewer staged inputs, smaller B) before erroring; "
+        "and degrades (fewer staged inputs, smaller B) before erroring — "
+        "and because one OOM poisons this plugin's backend for the whole "
+        "process (probed: even a tiny elementwise op fails afterwards), "
+        "every rung after the first OOM runs in a fresh isolated process; "
         "vs_baseline = fraction of an IDEAL (MFU=1.0) A100's 312-TFLOP/s "
         "throughput on the identical measured FLOP graph — fully derived, "
         "no estimated anchor (see BASELINE.md)")}
@@ -878,12 +977,30 @@ def main(argv=None):
         # (even recovered ones) can pin device buffers that the next
         # section then OOMs on — observed 2026-08-19
         gc.collect()
-        try:        # residual-HBM telemetry: any leak shows up here
+        try:
             import jax
 
+            # drop compiled executables: sections share no shapes, and the
+            # accumulated programs themselves occupy device memory. In the
+            # 2026-08-19 rerun live_arrays() was provably 0 GB going into
+            # the vqa section yet B=16 (and even batch-1 serving, and a
+            # persistent-cache READ of a one-op program) died with
+            # RESOURCE_EXHAUSTED — the five earlier sections' ~10-19
+            # TF/step train executables were what filled the chip.
+            jax.clear_caches()
+            gc.collect()
+            # telemetry: arrays are the CLIENT view; memory_stats (when the
+            # plugin provides it) is the allocator's ground truth
             n = sum(a.nbytes for a in jax.live_arrays())
+            stats = {}
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+            except Exception:  # noqa: BLE001 — plugin may not implement it
+                pass
             print(f"bench: after {name}: {n / 1e9:.2f} GB in "
-                  f"{len(jax.live_arrays())} live arrays", file=sys.stderr)
+                  f"{len(jax.live_arrays())} live arrays; "
+                  f"device bytes_in_use={stats.get('bytes_in_use')} "
+                  f"peak={stats.get('peak_bytes_in_use')}", file=sys.stderr)
         except Exception:
             pass
 
@@ -965,6 +1082,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    if "--rung" in sys.argv:
+        i = sys.argv.index("--rung")
+        sys.exit(_rung_child(sys.argv[i + 1],
+                             sys.argv[sys.argv.index("--kw") + 1]))
     if "--train" in sys.argv:
         # single-section mode for iterating on one config; honors the
         # modifier flags (the default main() already captures all of

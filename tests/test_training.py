@@ -1256,6 +1256,91 @@ def test_bench_staged_images_frees_partial_on_oom(monkeypatch):
         "partial staging list was not freed on the OOM path"
 
 
+def test_bench_poisoning_oom_isolates_remaining_rungs(monkeypatch):
+    """One RESOURCE_EXHAUSTED poisons this TPU plugin's backend for the
+    whole process (probed 2026-08-19: every later device op fails, while a
+    fresh process sees a healthy chip). After the first OOM of a registered
+    section fn, every remaining rung must run via _run_rung_isolated."""
+    import bench
+
+    calls = {"inproc": 0, "isolated": []}
+
+    def fake_rung(**kw):
+        calls["inproc"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+    fake_rung.__name__ = "fake_rung"
+
+    def fake_isolated(fn_name, kw, name, timeout=None):
+        calls["isolated"].append((fn_name, kw))
+        if kw["B"] > 1:
+            return {"oom": True, "error": "RESOURCE_EXHAUSTED (child)"}
+        return {"ok": {"img_per_s": 7.0}}
+
+    monkeypatch.setitem(bench._RUNG_FNS, "fake_rung", fake_rung)
+    monkeypatch.setattr(bench, "_run_rung_isolated", fake_isolated)
+    monkeypatch.setitem(bench._POISONED, "flag", False)
+    r = bench._with_degrade(fake_rung,
+                            [dict(B=4), dict(B=2), dict(B=1)], "x")
+    # first rung in-process (OOMs -> poisons), the rest isolated
+    assert calls["inproc"] == 1
+    assert calls["isolated"] == [("fake_rung", {"B": 2}),
+                                 ("fake_rung", {"B": 1})]
+    assert r["img_per_s"] == 7.0 and r["isolated"] is True
+    assert r["degraded"]["B"] == 1
+    assert bench._POISONED["flag"]
+
+
+def test_bench_poisoned_flag_does_not_isolate_unregistered_fns(monkeypatch):
+    """Test doubles / ad-hoc fns are not in _RUNG_FNS: they must keep the
+    plain in-process ladder even when the process is marked poisoned."""
+    import bench
+
+    monkeypatch.setitem(bench._POISONED, "flag", True)
+    seen = []
+
+    def fn(**kw):
+        seen.append(kw)
+        if kw["B"] > 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: x")
+        return {"img_per_s": 1.0}
+
+    monkeypatch.setattr(
+        bench, "_run_rung_isolated",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("isolated")))
+    r = bench._with_degrade(fn, [dict(B=2), dict(B=1)], "x")
+    assert r["img_per_s"] == 1.0 and seen == [dict(B=2), dict(B=1)]
+
+
+def test_bench_rung_child_verdicts(monkeypatch, capsys):
+    """--rung children always exit 0 and print exactly one JSON verdict:
+    ok / oom / error — the parent ladder needs the distinction."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
+
+    def ok_fn(**kw):
+        return {"img_per_s": kw["B"] * 1.0}
+    monkeypatch.setitem(bench._RUNG_FNS, "ok_fn", ok_fn)
+    assert bench._rung_child("ok_fn", '{"B": 3}') == 0
+    assert _json.loads(capsys.readouterr().out) == \
+        {"ok": {"img_per_s": 3.0}}
+
+    def oom_fn(**kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+    monkeypatch.setitem(bench._RUNG_FNS, "oom_fn", oom_fn)
+    assert bench._rung_child("oom_fn", "{}") == 0
+    assert _json.loads(capsys.readouterr().out)["oom"] is True
+
+    def bad_fn(**kw):
+        raise ValueError("not an oom")
+    monkeypatch.setitem(bench._RUNG_FNS, "bad_fn", bad_fn)
+    assert bench._rung_child("bad_fn", "{}") == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert "oom" not in out and "not an oom" in out["error"]
+
+
 def test_bench_main_always_emits_json(monkeypatch, capsys, tmp_path):
     """BENCH_r02 was rc=1 with no JSON. main() must print a parseable line
     and return 0 even if every section raises."""
