@@ -1311,6 +1311,57 @@ def test_bench_poisoned_flag_does_not_isolate_unregistered_fns(monkeypatch):
     assert r["img_per_s"] == 1.0 and seen == [dict(B=2), dict(B=1)]
 
 
+def test_bench_speculative_rung_runs_isolated_and_never_poisons(monkeypatch):
+    """A _speculative rung (the vqa B=256 headroom probe) runs in an
+    isolated child FROM THE START: its OOM must not poison the main
+    process, and the ladder falls through to the in-process next rung."""
+    import bench
+
+    calls = {"inproc": [], "isolated": []}
+
+    def fake_rung(**kw):
+        calls["inproc"].append(kw)
+        return {"img_per_s": 11.0}
+    fake_rung.__name__ = "fake_rung2"
+
+    def fake_isolated(fn_name, kw, name, timeout=None):
+        calls["isolated"].append((fn_name, kw))
+        return {"oom": True, "error": "RESOURCE_EXHAUSTED (child)"}
+
+    monkeypatch.setitem(bench._RUNG_FNS, "fake_rung2", fake_rung)
+    monkeypatch.setattr(bench, "_run_rung_isolated", fake_isolated)
+    monkeypatch.setitem(bench._POISONED, "flag", False)
+    ladder = [dict(B=256, _speculative=True), dict(B=128)]
+    r = bench._with_degrade(fake_rung, ladder, "x")
+    # the marker must not leak into the child kwargs or mutate the ladder
+    assert calls["isolated"] == [("fake_rung2", {"B": 256})]
+    assert ladder[0] == dict(B=256, _speculative=True)
+    # child OOM falls through; main process rung runs in-process, unpoisoned
+    assert calls["inproc"] == [dict(B=128)]
+    assert r["img_per_s"] == 11.0 and r["degraded"]["B"] == 128
+    assert not bench._POISONED["flag"]
+
+
+def test_bench_speculative_rung_success_is_annotated(monkeypatch):
+    """A speculative rung that SUCCEEDS in its child returns that result,
+    marked isolated, without touching the in-process backend."""
+    import bench
+
+    def fake_rung(**kw):
+        raise AssertionError("must not run in-process")
+    fake_rung.__name__ = "fake_rung3"
+
+    monkeypatch.setitem(bench._RUNG_FNS, "fake_rung3", fake_rung)
+    monkeypatch.setattr(
+        bench, "_run_rung_isolated",
+        lambda fn_name, kw, name, timeout=None: {"ok": {"img_per_s": 5.0}})
+    monkeypatch.setitem(bench._POISONED, "flag", False)
+    r = bench._with_degrade(fake_rung,
+                            [dict(B=256, _speculative=True)], "x")
+    assert r["img_per_s"] == 5.0 and r["isolated"] is True
+    assert "degraded" not in r and not bench._POISONED["flag"]
+
+
 def test_bench_rung_child_verdicts(monkeypatch, capsys):
     """--rung children always exit 0 and print exactly one JSON verdict:
     ok / oom / error — the parent ladder needs the distinction."""

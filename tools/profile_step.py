@@ -78,6 +78,11 @@ def main(argv=None):
                 kw["B"] = int(argv[i + 1])
             if a == "--vqa-t":
                 kw["T"] = int(argv[i + 1])
+            if a == "--vqa-o":
+                # box-bucket lever: O=95 makes L = T(32)+O+END = 128, the
+                # lane width — the [B,H,L,L] probs tensor stops padding
+                # its minormost dim to 256
+                kw["O"] = int(argv[i + 1])
         if "--dropout0" in argv:
             kw["dropout"] = 0.0
         if "--rbg" in argv:
