@@ -1077,6 +1077,19 @@ def main(argv=None):
             dict(B=32, T=32, k1=4, k2=12),
             dict(B=16, T=32, k1=3, k2=9),
         ])
+        # v5e-tuned box bucket (cfgs/vqa/base_v5e_bf16 rationale): O=95
+        # puts L = T(32) + O + END exactly at the 128-lane tile boundary.
+        # At the reference bucket (O=100, L=133) the fp32 [B,H,L,L]
+        # attention-probs tensors pad their minormost dim 133 -> 256 lanes,
+        # and ~30% of the step touches them (trace 2026-08-19: 15.9 ms
+        # QK/PV matmuls + 15.6 ms layout copies + softmax fusions at
+        # B=128). Dropping 5 of 100 lowest-rank box slots halves that:
+        # measured 103.4 vs 134.4 ms/step at B=128 (MFU 0.347 -> 0.433).
+        _section("train_step_vqa_l128", vqa_train_bench, [
+            dict(B=256, T=32, O=95, k1=3, k2=9, _speculative=True),
+            dict(B=128, T=32, O=95, k1=4, k2=12),
+            dict(B=64, T=32, O=95, k1=4, k2=12),
+        ])
 
     if quick and "--pretrain" not in argv:
         pretrain_ladder = None

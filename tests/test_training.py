@@ -1467,8 +1467,8 @@ def test_bench_line_is_driver_parseable(monkeypatch, capsys, tmp_path):
     assert d["vs_baseline"] > 0
     det = d["details"]
     for sec in ("fwd", "train_step", "train_step_accum4", "train_step_b16",
-                "train_step_large", "train_step_vqa", "pretrain_step",
-                "serve_latency"):
+                "train_step_large", "train_step_vqa", "train_step_vqa_l128",
+                "pretrain_step", "serve_latency"):
         assert det[sec], sec
     # numbers survive compaction; prose does not
     assert det["train_step_vqa"]["mfu"] == 0.4556
