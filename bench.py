@@ -186,7 +186,11 @@ def _with_degrade(fn, attempts, name):
         kw = dict(kw)
         speculative = bool(kw.pop("_speculative", False))
         if speculative and isolatable and not _POISONED["flag"]:
-            r = _run_rung_isolated(fn.__name__, kw, name)
+            # bound the child's cost: a probe that cannot finish inside
+            # this budget is not a usable rung anyway
+            r = _run_rung_isolated(
+                fn.__name__, kw, name,
+                timeout=float(os.environ.get("BENCH_SPEC_TIMEOUT_S", "600")))
             if "ok" in r:
                 out = r["ok"]
                 out["isolated"] = True
@@ -1085,8 +1089,10 @@ def main(argv=None):
         # QK/PV matmuls + 15.6 ms layout copies + softmax fusions at
         # B=128). Dropping 5 of 100 lowest-rank box slots halves that:
         # measured 103.4 vs 134.4 ms/step at B=128 (MFU 0.347 -> 0.433).
+        # (B=256 at O=95 could not finish a 590 s isolated probe on
+        # 2026-08-19 — compile + 17x 200 MB staged batches over the tunnel
+        # — so the ladder starts at the measured-good B=128)
         _section("train_step_vqa_l128", vqa_train_bench, [
-            dict(B=256, T=32, O=95, k1=3, k2=9, _speculative=True),
             dict(B=128, T=32, O=95, k1=4, k2=12),
             dict(B=64, T=32, O=95, k1=4, k2=12),
         ])
