@@ -45,3 +45,67 @@ def test_roberta_parity_with_transformers(roberta_files):
         assert (ours.convert_tokens_to_ids(ours.tokenize(text))
                 == hf.convert_tokens_to_ids(hf.tokenize(text)))
     assert ours.encode("the cat") == hf.encode("the cat")
+
+
+# pools chosen to hit every GPT-2 pre-tokenizer alternative and the exact
+# divergences VERDICT r4 confirmed for the old \w+ substitute: letter/digit
+# boundaries ("abc123"), underscores ("snake_case"), unicode letters and
+# digits outside ASCII, contractions, multi-space/tab/newline runs
+_FUZZ_WORDS = [
+    "the", "cat", "abc123", "4b", "room", "snake_case", "x_1", "don't",
+    "it's", "we're", "I'll", "I'd", "café", "naïve", "中文", "日本語",
+    "Ⅷ", "٣٤٥", "½", "１２３", "e=mc2", "foo-bar", "a.b.c", "#tag",
+    "@user", "$100", "100%", "3.14", "...", "!!", "(x)", "[y]", "a_b_c",
+    "CamelCase", "UPPER", "mixedCASE99", "_lead", "trail_", "__dunder__",
+]
+_FUZZ_SEPS = [" ", "  ", "   ", "\t", "\n", " \n ", "", " \t"]
+
+
+def _fuzz_strings(n, seed=0):
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 8)
+        s = ""
+        for i in range(k):
+            if i:
+                s += rng.choice(_FUZZ_SEPS)
+            s += rng.choice(_FUZZ_WORDS)
+        if rng.random() < 0.2:
+            s = rng.choice(_FUZZ_SEPS) + s
+        if rng.random() < 0.2:
+            s += rng.choice(_FUZZ_SEPS)
+        out.append(s)
+    return out
+
+
+def test_roberta_fuzz_parity_with_transformers(roberta_files):
+    """1000-case fuzz vs transformers (VERDICT r4 item 2): token-identical
+    on alphanumeric/underscore/unicode/contraction/whitespace mixes. The
+    old \\w+ pre-tokenizer fails this on the first 'abc123' draw."""
+    from transformers import RobertaTokenizer as HFRoberta
+
+    hf = HFRoberta(vocab_file=roberta_files + "/vocab.json",
+                   merges_file=roberta_files + "/merges.txt")
+    ours = RobertaTokenizer.from_pretrained(roberta_files)
+    for text in _fuzz_strings(1000):
+        assert ours.tokenize(text) == hf.tokenize(text), repr(text)
+
+
+def test_pretokenize_scan_matches_regex_module():
+    """The stdlib fallback scanner must reproduce the regex-module pattern
+    exactly (it is the no-dependency path on hosts without `regex`)."""
+    import regex
+
+    from vlbert_tpu.data.tokenization_roberta import (_GPT2_PAT,
+                                                      _pretokenize_scan)
+
+    pat = regex.compile(_GPT2_PAT)
+    cases = _fuzz_strings(500, seed=1) + [
+        "", " ", "  ", "a", " a", "  a", "a ", "a  ", "\n\n a", "a\t\tb",
+        "'s's", "''", "don't've", "1'2", " 'll",
+    ]
+    for text in cases:
+        assert pat.findall(text) == _pretokenize_scan(text), repr(text)

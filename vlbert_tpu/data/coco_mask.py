@@ -116,17 +116,54 @@ def area(counts):
 
 
 def iou(counts_a, counts_b):
+    """IoU between two RLE masks of the same h x w.
+
+    Fallback mirrors native/maskapi.cc rle_iou (merged run traversal, no
+    mask materialization) so REFER works without a C++ toolchain
+    (ref: refcoco/data/datasets/refer/external/maskApi.c rleIou).
+    """
     a, b = _as_u32(counts_a), _as_u32(counts_b)
     lib = _load_lib()
     if lib:
         return float(lib.rle_iou(
             a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(a),
             b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(b)))
-    raise NotImplementedError("numpy iou fallback: decode + compute")
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    area_a = int(a[1::2].sum())
+    area_b = int(b[1::2].sum())
+    inter = 0
+    ia = ib = 0
+    pa, pb = int(a[0]), int(b[0])    # positions of the next transitions
+    va = vb = False
+    pos = 0
+    while ia < len(a) and ib < len(b):
+        nxt = min(pa, pb)
+        if va and vb:
+            inter += nxt - pos
+        pos = nxt
+        if pa == nxt:
+            va = not va
+            ia += 1
+            if ia < len(a):
+                pa += int(a[ia])
+        if pb == nxt:
+            vb = not vb
+            ib += 1
+            if ib < len(b):
+                pb += int(b[ib])
+    union = area_a + area_b - inter
+    return inter / union if union else 0.0
 
 
 def from_poly(xy, h, w):
-    """[(x, y), ...] polygon -> RLE counts."""
+    """[(x, y), ...] polygon -> RLE counts.
+
+    Fallback mirrors native/maskapi.cc rle_from_poly: even-odd test at
+    pixel centers (vectorized over the grid, one pass per edge), with the
+    same degenerate-polygon boundary rasterization when the fill is empty
+    (ref: refcoco/data/datasets/refer/external/maskApi.c rleFrPoly).
+    """
     xy = np.ascontiguousarray(np.asarray(xy, np.float64).reshape(-1))
     k = xy.size // 2
     lib = _load_lib()
@@ -138,7 +175,32 @@ def from_poly(xy, h, w):
         if n < 0:
             raise ValueError("RLE buffer overflow")
         return buf[:n].copy()
-    raise NotImplementedError("build native/libmaskapi.so (make -C native)")
+    px = np.arange(w, dtype=np.float64)[None, :] + 0.5   # [h, w]
+    py = np.arange(h, dtype=np.float64)[:, None] + 0.5
+    inside = np.zeros((h, w), bool)
+    for i in range(k):
+        j = (i - 1) % k
+        xi, yi = xy[2 * i], xy[2 * i + 1]
+        xj, yj = xy[2 * j], xy[2 * j + 1]
+        crosses = ((yi > py) != (yj > py)) \
+            & (px < (xj - xi) * (py - yi) / (yj - yi + 1e-12) + xi)
+        inside ^= crosses
+    if not inside.any():
+        # degenerate polygon: rasterize the (densely sampled) boundary so
+        # thin slivers/lines yield their outline, exactly like the native
+        # path (and pycocotools' 5x upsampled boundary scan)
+        for i in range(k):
+            j = (i - 1) % k
+            xi, yi = xy[2 * i], xy[2 * i + 1]
+            xj, yj = xy[2 * j], xy[2 * j + 1]
+            dx, dy = xi - xj, yi - yj
+            steps = int(max(abs(dx), abs(dy)) * 5.0) + 1
+            t = np.arange(steps + 1, dtype=np.float64) / steps
+            bx = (xj + t * dx).astype(np.int64)   # C-cast truncation
+            by = (yj + t * dy).astype(np.int64)
+            ok = (bx >= 0) & (bx < w) & (by >= 0) & (by < h)
+            inside[by[ok], bx[ok]] = True
+    return encode(inside)
 
 
 def decode_compressed(counts_str, h, w):
