@@ -14,8 +14,20 @@ whatever sections completed if the run wedges mid-measurement.
 Headline value = forward images/sec/chip through the full ROIAlign +
 VL-BERT path (ResNet-101 backbone, 14x14 ROIAlign, conv5 head, 12-layer
 VL-BERT-base over [text|boxes|END]), bf16 compute, 608px, 36 boxes, 4x48
-text. "details" carries train-step numbers (default B=4, shipped-config
-accum4, B=16, and VL-BERT-large) and MFU for all of them.
+text. "details" carries train-step numbers and MFU.
+
+Profiles (round-5 restructure — BENCH_r04 timed out under the driver, so
+the DEFAULT run must provably fit the driver budget):
+  * default: headline-first — fwd, train_b16, serve, train_step(B=4).
+    Every section is time-boxed against a global budget (BENCH_DEADLINE_S,
+    default 2100 s): a section whose cost estimate exceeds the remaining
+    budget is SKIPPED with a recorded reason instead of risking the line.
+    serve runs BEFORE any OOM-prone ladder so it is always measured
+    in-process on a clean backend (the round-4 2x serve "regression" was
+    an isolated-child / post-OOM artifact).
+  * --full: adds accum4, large, vqa (+ speculative B=256 probe), vqa_l128,
+    pretrain ladders; deadline default rises to 7200 s.
+  * --quick: fwd + train_step(B=4) only.
 
 Methodology:
   * inputs are staged as uint8 RGB — the framework's own wire format
@@ -733,6 +745,10 @@ def _compact_section(name, sec):
             out["int8_speedup"] = i8["device_speedup"]
     if "error" in sec:
         out["error"] = str(sec["error"])[:120]
+    if "skipped" in sec:
+        out["skipped"] = str(sec["skipped"])[:120]
+    if "regression_warn" in sec:
+        out["regression_warn"] = str(sec["regression_warn"])[:120]
     if "degraded" in sec:
         out["degraded"] = True
     return out
@@ -812,8 +828,8 @@ def _emit(details, error=None):
             compact = {}
             for k, v in snap.items():
                 if k in ("methodology", "vs_baseline_meaning",
-                         "legacy_vs_estimated_a100"):
-                    continue        # prose / legacy: sidecar only
+                         "legacy_vs_estimated_a100", "section_wall_s"):
+                    continue        # prose / legacy / telemetry: sidecar only
                 if k == "error":
                     compact[k] = str(v)[:200]
                 elif isinstance(v, dict):
@@ -982,7 +998,14 @@ def main(argv=None):
         os._exit(0)     # init thread may be wedged in native code; hard-exit
     details["device"] = dev
 
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "5400"))
+    quick = "--quick" in argv       # fwd + default train step only
+    full = "--full" in argv         # every ladder (accum4/large/vqa/pretrain)
+    deadline = float(os.environ.get(
+        "BENCH_DEADLINE_S", "7200" if full else "2100"))
+    t0 = time.time()
+
+    def _remaining():
+        return deadline - (time.time() - t0)
 
     def _on_deadline():
         _emit(details, error=(f"watchdog: bench exceeded {deadline:g}s; "
@@ -997,8 +1020,22 @@ def main(argv=None):
     if "--selftest-wedge" in argv:  # test hook: wedge mid-run so the
         time.sleep(1e9)             # watchdog path can be exercised
 
-    def _section(name, fn, ladder):
+    walls = details.setdefault("section_wall_s", {})
+
+    def _section(name, fn, ladder, est_s=0.0):
+        # budget gate (round 5 — BENCH_r04 rc=124): a section whose
+        # worst-case estimate exceeds the remaining budget (minus a 120 s
+        # emit margin) is skipped WITH A RECORDED REASON; the headline
+        # sections run first so they are never the ones skipped
+        if est_s and _remaining() < est_s + 120:
+            details[name] = {"skipped": (f"budget: {_remaining():.0f}s left "
+                                         f"< est {est_s:.0f}s + 120s margin")}
+            print(f"bench: skipping {name} ({details[name]['skipped']})",
+                  file=sys.stderr)
+            return
+        t_sec = time.time()
         details[name] = _with_degrade(fn, ladder, name)
+        walls[name] = round(time.time() - t_sec, 1)
         # collect between sections: a section's internal exception cycles
         # (even recovered ones) can pin device buffers that the next
         # section then OOMs on — observed 2026-08-19
@@ -1023,54 +1060,90 @@ def main(argv=None):
                 stats = jax.local_devices()[0].memory_stats() or {}
             except Exception:  # noqa: BLE001 — plugin may not implement it
                 pass
-            print(f"bench: after {name}: {n / 1e9:.2f} GB in "
+            print(f"bench: after {name} ({walls[name]:.0f}s): "
+                  f"{n / 1e9:.2f} GB in "
                   f"{len(jax.live_arrays())} live arrays; "
                   f"device bytes_in_use={stats.get('bytes_in_use')} "
                   f"peak={stats.get('peak_bytes_in_use')}", file=sys.stderr)
         except Exception:
             pass
 
+    # previous sidecar (read BEFORE this run overwrites it) feeds the serve
+    # regression tripwire — VERDICT r4 weak #3
+    prev_serve_dev_ms = None
+    try:
+        with open(_SIDECAR) as f:
+            _prev = json.load(f)
+        prev_serve_dev_ms = (_prev.get("details", {}).get("serve_latency", {})
+                             .get("device_compute", {})
+                             .get("device_ms_per_query"))
+    except Exception:
+        pass
+
+    # ---- headline sections, in the order the BASELINE tracks them --------
     _section("fwd", fwd_bench, [
         dict(B=16, k1=6, k2=18),
         dict(B=16, k1=4, k2=10),
         dict(B=8, k1=4, k2=10),
         dict(B=4, k1=3, k2=7),
     ])
-    fwd = details["fwd"]
-
-    quick = "--quick" in argv       # fwd + default train step only
-    sections = [("train_step", [dict(B=4, accum=1),
-                                dict(B=4, accum=1, k1=3, k2=9),
-                                dict(B=2, accum=1, k1=3, k2=7)])]
-    if not quick:
-        sections += [
-            # shipped VCR base config: per-device batch 4, grad-accum 4
-            ("train_step_accum4", [dict(B=4, accum=4, k1=3, k2=9),
-                                   dict(B=4, accum=4, k1=2, k2=6),
-                                   dict(B=2, accum=4, k1=2, k2=6)]),
-            # per-chip batch scaling (MFU rises with B: conv bwd amortizes)
-            ("train_step_b16", [dict(B=16, accum=1, k1=4, k2=12),
-                                dict(B=16, accum=1, k1=2, k2=6),
-                                dict(B=8, accum=1, k1=3, k2=9)]),
-            # B=16 fits large on one v5e chip without remat (measured:
-            # 69.8 img/s MFU 0.441 vs 48.9/0.277 at B=4, 58.8/0.327 at
-            # B=8) — same conv-bwd amortization as base; remat measured
-            # strictly slower (42 img/s at B=4) — memory isn't tight
-            ("train_step_large", [dict(B=16, accum=1, large=True, k1=2, k2=6),
-                                  dict(B=8, accum=1, large=True, k1=3, k2=7),
-                                  dict(B=4, accum=1, large=True, k1=3, k2=9),
-                                  dict(B=2, accum=1, large=True, k1=3, k2=7)]),
-        ]
-    for name, ladder in sections:
-        _section(name, train_bench, ladder)
 
     if not quick:
+        # headline train number: per-chip B=16 (MFU rises with B — conv
+        # bwd amortizes); runs BEFORE the reference-config B=4 section so
+        # a budget squeeze drops the weaker number, not the headline
+        _section("train_step_b16", train_bench,
+                 [dict(B=16, accum=1, k1=4, k2=12),
+                  dict(B=16, accum=1, k1=2, k2=6),
+                  dict(B=8, accum=1, k1=3, k2=9)], est_s=480)
+        # batch-1 VQA serving latency (BASELINE.json: p50 tracked).
+        # Deliberately BEFORE any OOM-prone ladder: the round-4 capture's
+        # "2x serve regression" (device 1.756 vs 0.815 ms) came from this
+        # section running as an isolated child on a poisoned backend late
+        # in the run; measured in-process on a clean backend it belongs
+        # with the round-3 numbers. The tripwire below guards that.
+        _section("serve_latency", serve_bench, [
+            dict(n_queries=40),
+            dict(n_queries=12),
+        ], est_s=420)
+        dev_ms = (details.get("serve_latency", {})
+                  .get("device_compute", {}).get("device_ms_per_query"))
+        if prev_serve_dev_ms and dev_ms and (
+                dev_ms > 1.3 * prev_serve_dev_ms
+                or dev_ms < prev_serve_dev_ms / 1.3):
+            details["serve_latency"]["regression_warn"] = (
+                f"device_ms_per_query {dev_ms} moved >30% vs last run "
+                f"({prev_serve_dev_ms})")
+            print("bench: WARNING "
+                  + details["serve_latency"]["regression_warn"],
+                  file=sys.stderr)
+
+    # reference VCR config baseline: per-device batch 4
+    _section("train_step", train_bench,
+             [dict(B=4, accum=1),
+              dict(B=4, accum=1, k1=3, k2=9),
+              dict(B=2, accum=1, k1=3, k2=7)], est_s=300)
+
+    if full:
+        # shipped VCR base config: per-device batch 4, grad-accum 4
+        _section("train_step_accum4", train_bench,
+                 [dict(B=4, accum=4, k1=3, k2=9),
+                  dict(B=4, accum=4, k1=2, k2=6),
+                  dict(B=2, accum=4, k1=2, k2=6)], est_s=420)
+        # B=16 fits large on one v5e chip without remat (measured:
+        # 69.8 img/s MFU 0.441 vs 48.9/0.277 at B=4, 58.8/0.327 at
+        # B=8) — same conv-bwd amortization as base; remat measured
+        # strictly slower (42 img/s at B=4) — memory isn't tight
+        _section("train_step_large", train_bench,
+                 [dict(B=16, accum=1, large=True, k1=2, k2=6),
+                  dict(B=8, accum=1, large=True, k1=3, k2=7),
+                  dict(B=4, accum=1, large=True, k1=3, k2=9),
+                  dict(B=2, accum=1, large=True, k1=3, k2=7)], est_s=600)
         # VQA precomputed-feature fine-tune (tracked config #2):
         # transformer-only, so the per-chip batch scales far beyond the
         # e2e conv workloads. T=32 is the realistic text bucket (live
         # question length ~16; round 3 benched T=64 and burned ~75% of
-        # encoder capacity on padding -> MFU 0.256). B ladder extended to
-        # 256 per VERDICT r3 item 2.
+        # encoder capacity on padding -> MFU 0.256).
         _section("train_step_vqa", vqa_train_bench, [
             # B=256 OOM'd (and poisoned the backend) in the 2026-08-19 full
             # run; it stays as an isolated headroom probe so a repeat OOM
@@ -1080,7 +1153,7 @@ def main(argv=None):
             dict(B=64, T=32, k1=4, k2=12),
             dict(B=32, T=32, k1=4, k2=12),
             dict(B=16, T=32, k1=3, k2=9),
-        ])
+        ], est_s=900)
         # v5e-tuned box bucket (cfgs/vqa/base_v5e_bf16 rationale): O=95
         # puts L = T(32) + O + END exactly at the 128-lane tile boundary.
         # At the reference bucket (O=100, L=133) the fp32 [B,H,L,L]
@@ -1089,36 +1162,21 @@ def main(argv=None):
         # QK/PV matmuls + 15.6 ms layout copies + softmax fusions at
         # B=128). Dropping 5 of 100 lowest-rank box slots halves that:
         # measured 103.4 vs 134.4 ms/step at B=128 (MFU 0.347 -> 0.433).
-        # (B=256 at O=95 could not finish a 590 s isolated probe on
-        # 2026-08-19 — compile + 17x 200 MB staged batches over the tunnel
-        # — so the ladder starts at the measured-good B=128)
         _section("train_step_vqa_l128", vqa_train_bench, [
             dict(B=128, T=32, O=95, k1=4, k2=12),
             dict(B=64, T=32, O=95, k1=4, k2=12),
-        ])
+        ], est_s=420)
 
-    if quick and "--pretrain" not in argv:
-        pretrain_ladder = None
-    else:
+    if full or "--pretrain" in argv:
         # reference pretraining workload (CC e2e + aux corpus, MLM+MVRC) —
-        # tracked config #4. Captured BY DEFAULT since round 4 (VERDICT r3
-        # item 3) with small slope counts; the compile cache keeps repeat
-        # runs cheap.
-        pretrain_ladder = [
+        # tracked config #4; --full profile (the default profile must fit
+        # the driver budget, and this ladder pays a fresh multi-minute
+        # compile over the tunnel)
+        _section("pretrain_step", pretrain_bench, [
             dict(B=16, aux_B=16, k1=2, k2=6),
             dict(B=8, aux_B=8, k1=2, k2=5),
             dict(B=4, aux_B=4, k1=2, k2=5),
-        ]
-    if pretrain_ladder:
-        _section("pretrain_step", pretrain_bench, pretrain_ladder)
-
-    if not quick:
-        # batch-1 VQA serving latency (BASELINE.json: p50 tracked) — one
-        # compile + 40 queries, cheap enough to capture by default
-        _section("serve_latency", serve_bench, [
-            dict(n_queries=40),
-            dict(n_queries=12),
-        ])
+        ], est_s=600)
 
     dog.cancel()
     _emit(details)

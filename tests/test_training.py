@@ -1409,7 +1409,7 @@ def test_bench_main_always_emits_json(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "vqa_train_bench", boom)
     monkeypatch.setattr(bench, "pretrain_bench", boom)
     monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
-    rc = bench.main([])
+    rc = bench.main(["--full"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     d = _json.loads(out)
     assert rc == 0
@@ -1418,6 +1418,114 @@ def test_bench_main_always_emits_json(monkeypatch, capsys, tmp_path):
                 "train_step_large", "train_step_vqa", "pretrain_step",
                 "serve_latency"):
         assert "error" in d["details"][sec], sec
+
+
+def test_bench_default_profile_is_headline_only(monkeypatch, capsys,
+                                                tmp_path):
+    """Round-5 restructure (BENCH_r04 rc=124): the DEFAULT profile runs only
+    the headline sections — fwd, train_b16, serve, train_step — in that
+    order, with the ladders (accum4/large/vqa/pretrain) behind --full, so
+    the driver-budgeted run provably finishes."""
+    import json as _json
+
+    import bench
+
+    order = []
+
+    def rec(name, val):
+        def fn(**kw):
+            order.append(name)
+            return dict(val)
+        return fn
+
+    monkeypatch.setattr(bench, "_SIDECAR", str(tmp_path / "bench_full.json"))
+    monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
+    monkeypatch.setattr(bench, "_backend_alive",
+                        lambda t, _probe=None: ("TPU v5 lite0", None))
+    monkeypatch.setattr(bench, "fwd_bench",
+                        rec("fwd", {"img_per_s": 500.0, "batch": 16,
+                                    "flops_per_img": 2.2e11}))
+    monkeypatch.setattr(bench, "train_bench",
+                        rec("train", {"img_per_s": 150.0}))
+    monkeypatch.setattr(bench, "serve_bench", rec("serve", {"p50_ms": 42.0}))
+    monkeypatch.setattr(
+        bench, "vqa_train_bench",
+        rec("vqa", {"samples_per_s": 1.0}))
+    monkeypatch.setattr(
+        bench, "pretrain_bench",
+        rec("pretrain", {"img_per_s": 1.0}))
+    rc = bench.main([])
+    d = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    # ladders never ran; headline order is fwd -> b16 -> serve -> b4
+    assert order == ["fwd", "train", "serve", "train"]
+    det = d["details"]
+    for sec in ("fwd", "train_step_b16", "serve_latency", "train_step"):
+        assert sec in det, sec
+    for sec in ("train_step_accum4", "train_step_large", "train_step_vqa",
+                "train_step_vqa_l128", "pretrain_step"):
+        assert sec not in det, sec
+    # per-section wall telemetry lands in the sidecar, not on the line
+    full = _json.loads((tmp_path / "bench_full.json").read_text())
+    assert set(full["details"]["section_wall_s"]) == {
+        "fwd", "train_step_b16", "serve_latency", "train_step"}
+    assert "section_wall_s" not in det
+
+
+def test_bench_budget_gate_skips_with_reason(monkeypatch, capsys, tmp_path):
+    """A section whose cost estimate exceeds the remaining budget is skipped
+    with a recorded reason (never silently) — the headline fwd section is
+    ungated and always runs."""
+    import json as _json
+
+    import bench
+
+    monkeypatch.setattr(bench, "_SIDECAR", str(tmp_path / "bench_full.json"))
+    monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
+    monkeypatch.setattr(bench, "_backend_alive",
+                        lambda t, _probe=None: ("TPU v5 lite0", None))
+    monkeypatch.setattr(bench, "fwd_bench",
+                        lambda **kw: {"img_per_s": 500.0, "batch": 16})
+    ran = []
+    monkeypatch.setattr(bench, "train_bench",
+                        lambda **kw: ran.append("train") or {"img_per_s": 1})
+    monkeypatch.setattr(bench, "serve_bench",
+                        lambda **kw: ran.append("serve") or {"p50_ms": 1})
+    monkeypatch.setenv("BENCH_DEADLINE_S", "10")   # < any est + margin
+    rc = bench.main([])
+    d = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and not ran
+    assert d["details"]["fwd"]["img_per_s"] == 500.0
+    for sec in ("train_step_b16", "serve_latency", "train_step"):
+        assert "budget" in d["details"][sec]["skipped"], sec
+
+
+def test_bench_serve_regression_tripwire(monkeypatch, capsys, tmp_path):
+    """bench warns when device_ms_per_query moves >30% vs the previous
+    sidecar (VERDICT r4: the 2x serve move went unremarked)."""
+    import json as _json
+
+    import bench
+
+    sidecar = tmp_path / "bench_full.json"
+    sidecar.write_text(_json.dumps({"details": {"serve_latency": {
+        "device_compute": {"device_ms_per_query": 0.8}}}}))
+    monkeypatch.setattr(bench, "_SIDECAR", str(sidecar))
+    monkeypatch.setattr(bench, "_enable_compile_cache", lambda: None)
+    monkeypatch.setattr(bench, "_backend_alive",
+                        lambda t, _probe=None: ("TPU v5 lite0", None))
+    monkeypatch.setattr(bench, "fwd_bench",
+                        lambda **kw: {"img_per_s": 500.0, "batch": 16})
+    monkeypatch.setattr(bench, "train_bench",
+                        lambda **kw: {"img_per_s": 150.0})
+    monkeypatch.setattr(
+        bench, "serve_bench",
+        lambda **kw: {"p50_ms": 80.0,
+                      "device_compute": {"device_ms_per_query": 1.75}})
+    rc = bench.main([])
+    d = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert "moved >30%" in d["details"]["serve_latency"]["regression_warn"]
 
 
 def test_bench_line_is_driver_parseable(monkeypatch, capsys, tmp_path):
@@ -1458,7 +1566,7 @@ def test_bench_line_is_driver_parseable(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "vqa_train_bench", lambda **kw: dict(vqa))
     monkeypatch.setattr(bench, "pretrain_bench", lambda **kw: dict(pre))
     monkeypatch.setattr(bench, "serve_bench", lambda **kw: dict(serve))
-    rc = bench.main([])
+    rc = bench.main(["--full"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert rc == 0
     assert len(out.encode()) < 1500, f"line is {len(out.encode())} bytes"
