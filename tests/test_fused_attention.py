@@ -62,6 +62,120 @@ def test_encoder_fused_flag_matches(rng):
     np.testing.assert_allclose(out_f[live], out_x[live], rtol=1e-4, atol=1e-5)
 
 
+def _xla_dropout_attention(q, k, v, bias, key, rate):
+    """The exact XLA training composition from models/bert.py _core
+    (bits16 dropout on the fp32 probs)."""
+    from vlbert_tpu.ops.dropout import dropout_apply
+
+    _, p = _xla_attention(q, k, v, bias)
+    pd = dropout_apply(p, key, rate, impl="bits16").astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", pd, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def test_fused_dropout_matches_xla_bits16(rng):
+    """fused_attention_dropout(hw=False) mask is bit-identical to the XLA
+    bits16 path under the same key: outputs must match in fp32."""
+    from vlbert_tpu.ops.attention import fused_attention_dropout
+
+    q, k, v, bias = _case(rng)
+    key = jax.random.PRNGKey(7)
+    ours = np.asarray(fused_attention_dropout(q, k, v, bias, key, 0.1, False))
+    ref = np.asarray(_xla_dropout_attention(q, k, v, bias, key, 0.1))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    # deterministic replay: same key -> same output
+    again = np.asarray(fused_attention_dropout(q, k, v, bias, key, 0.1, False))
+    np.testing.assert_array_equal(ours, again)
+    # different key -> different mask (sanity that dropout is active)
+    other = np.asarray(fused_attention_dropout(
+        q, k, v, bias, jax.random.PRNGKey(8), 0.1, False))
+    assert not np.allclose(ours, other)
+
+
+def test_fused_dropout_backward_matches_xla(rng):
+    """The backward kernel recomputes probs + the identical mask from
+    (q, k, v, bias, key): grads must equal the XLA composition's."""
+    from vlbert_tpu.ops.attention import fused_attention_dropout
+
+    q, k, v, bias = _case(rng, B=2, L=29, H=3, D=16)
+    key = jax.random.PRNGKey(11)
+
+    def loss_fused(q, k, v, bias):
+        o = fused_attention_dropout(q, k, v, bias, key, 0.25, False)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v, bias):
+        o = _xla_dropout_attention(q, k, v, bias, key, 0.25)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_fused_training_matches_xla(rng):
+    """Full encoder, train mode (attention dropout ACTIVE): fused=True and
+    fused=False draw the same per-site rng keys and the bits16 masks are
+    bit-identical, so outputs and grads must match."""
+    from vlbert_tpu.models.bert import BertEncoder
+
+    HID, HEADS, L, B = 32, 4, 11, 2
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[1, 8:] = 0
+    bias = jnp.asarray(((1 - mask) * -10000.0)[:, None, None, :])
+
+    kw = dict(num_layers=2, num_heads=HEADS, hidden_size=HID,
+              intermediate_size=64, hidden_act="gelu",
+              attention_dropout=0.3, hidden_dropout=0.1,
+              initializer_range=0.02)
+    enc_x = BertEncoder(fused=False, **kw)
+    enc_f = BertEncoder(fused=True, **kw)
+    params = enc_x.init(jax.random.PRNGKey(0), x, bias)
+    rngs = {"dropout": jax.random.PRNGKey(3)}
+
+    def loss(enc, xx):
+        return jnp.sum(enc.apply(params, xx, bias, deterministic=False,
+                                 rngs=rngs) ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda xx: loss(enc_x, xx))(x)
+    v1, g1 = jax.value_and_grad(lambda xx: loss(enc_f, xx))(x)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dropout_ref_impl_keeps_xla_path(rng):
+    """DROPOUT_IMPL='ref' (strict bernoulli parity) must bypass the fused
+    kernel: encoder output matches the unfused encoder exactly."""
+    from vlbert_tpu.models.bert import BertEncoder
+    from vlbert_tpu.ops import dropout as dropout_mod
+
+    HID, HEADS, L, B = 32, 4, 9, 2
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+    bias = jnp.zeros((B, 1, 1, L), jnp.float32)
+    kw = dict(num_layers=1, num_heads=HEADS, hidden_size=HID,
+              intermediate_size=64, hidden_act="gelu",
+              attention_dropout=0.3, hidden_dropout=0.0,
+              initializer_range=0.02)
+    enc_x = BertEncoder(fused=False, **kw)
+    enc_f = BertEncoder(fused=True, **kw)
+    params = enc_x.init(jax.random.PRNGKey(0), x, bias)
+    rngs = {"dropout": jax.random.PRNGKey(4)}
+    old = dropout_mod.DEFAULT_IMPL
+    dropout_mod.DEFAULT_IMPL = "ref"
+    try:
+        out_x = np.asarray(enc_x.apply(params, x, bias, deterministic=False,
+                                       rngs=rngs))
+        out_f = np.asarray(enc_f.apply(params, x, bias, deterministic=False,
+                                       rngs=rngs))
+    finally:
+        dropout_mod.DEFAULT_IMPL = old
+    np.testing.assert_array_equal(out_f, out_x)
+
+
 def test_fused_qkv_matches_separate(rng):
     """fused_qkv encoder == separate-projection encoder after fuse_qkv_params."""
     from vlbert_tpu.models.bert import BertEncoder

@@ -80,10 +80,13 @@ class BertLayerNorm(nn.Module):
 class BertSelfAttention(nn.Module):
     """Multi-head self-attention (ref: modeling.py:268-319).
 
-    With ``fused`` set and no attention-prob dropout active, the whole
-    QK^T+bias+softmax+V pipeline runs as one Pallas kernel
-    (ops/attention.py); the probs-dropout / output-probs paths use the
-    unfused XLA pipeline to keep RNG semantics identical to the reference.
+    With ``fused`` set, the whole QK^T+bias+softmax(+prob-dropout)+V
+    pipeline runs as one Pallas kernel (ops/attention.py):
+    ``fused_attention`` when deterministic / rate 0, and
+    ``fused_attention_dropout`` in training (the mask is applied to the
+    probs in VMEM; 'bits16' masks are bit-identical to the XLA path).
+    The output-probs (vis) path and ``DROPOUT_IMPL='ref'`` strict-parity
+    runs keep the unfused XLA pipeline.
     """
 
     num_heads: int
@@ -115,12 +118,33 @@ class BertSelfAttention(nn.Module):
         k = k.reshape(B, L, self.num_heads, head_dim)
         v = v.reshape(B, L, self.num_heads, head_dim)
 
-        if self.fused and not output_attention_probs and (
-                deterministic or self.dropout_rate == 0.0):
+        fused_ok = (self.fused and not output_attention_probs
+                    and attention_bias.ndim == 4
+                    and attention_bias.shape[1] == 1
+                    and attention_bias.shape[2] == 1)
+        if fused_ok and (deterministic or self.dropout_rate == 0.0):
             from vlbert_tpu.ops.attention import fused_attention
 
             ctx = fused_attention(q, k, v, attention_bias)
             return ctx.reshape(B, L, self.hidden_size).astype(self.dtype)
+        if fused_ok:
+            # training: dropout applied to the probs INSIDE the kernel —
+            # the fp32 [B,H,L,L] probs never reach HBM fwd or bwd. Mask
+            # semantics track the process dropout impl: 'bits16' masks are
+            # bit-identical to the XLA path below (same make_rng key),
+            # 'pallas' uses the in-kernel hardware PRNG on TPU. 'ref'
+            # (strict bernoulli parity) keeps the XLA path.
+            from vlbert_tpu.ops import dropout as dropout_mod
+            impl = dropout_mod.DEFAULT_IMPL
+            if impl != "ref":
+                from vlbert_tpu.ops.attention import fused_attention_dropout
+
+                key = self.make_rng("dropout")
+                hw = impl == "pallas" and dropout_mod._on_tpu()
+                ctx = fused_attention_dropout(
+                    q, k, v, attention_bias, key,
+                    float(self.dropout_rate), hw)
+                return ctx.reshape(B, L, self.hidden_size).astype(self.dtype)
 
         if output_attention_probs:
             # vis path: probs must survive to the caller, so no remat
