@@ -107,6 +107,14 @@ def main():
     from vlbert_tpu.utils.config import default_config
 
     cfg = default_config("vcr")
+    # the v5e-tuned configs ship TPU.RESIZE_IMPL='cv2' (5x faster host
+    # resize, <=1 LSB mean divergence); measure that deployment path by
+    # default, '--resize pil' for the exact-parity chain
+    resize_impl = "cv2"
+    for i, a in enumerate(sys.argv):
+        if a == "--resize":
+            resize_impl = sys.argv[i + 1]
+    cfg.TPU.RESIZE_IMPL = resize_impl
     tmp = tempfile.mkdtemp(prefix="vlbert_hostbench_")
     tok = BertTokenizer(_write_vocab(tmp))
     _make_fixture(tmp, n=n)

@@ -129,3 +129,54 @@ def test_fast_rcnn_uint8_dispatch_matches_float(rng):
                     jnp.asarray(box_mask), jnp.asarray(im_info))
     np.testing.assert_allclose(np.asarray(out_u["obj_reps"]),
                                np.asarray(out_f["obj_reps"]), atol=1e-6)
+
+
+def test_resize_cv2_impl_close_to_pil_on_natural_image():
+    """RESIZE_IMPL='cv2' (v5e-tuned configs) must track the exact-parity
+    PIL path closely on natural (smooth) content at this pipeline's
+    near-unity scales: <=2 LSB max, <=0.3 LSB mean on uint8."""
+    import pytest
+
+    pytest.importorskip("cv2")
+    yy, xx = np.mgrid[0:360, 0:480]
+    img = np.stack([(yy // 3 + xx // 5) % 256, (xx // 2) % 256,
+                    ((xx + yy) // 4) % 256], -1).astype(np.uint8)
+
+    def run(impl):
+        s = {"image": img.copy(), "boxes": None, "masks": None,
+             "im_info": np.asarray([480, 360, 1, 1], np.float32),
+             "flipped": False}
+        return Resize(340, 500, impl=impl)(s)["image"]
+
+    out_pil = run("pil").astype(np.int32)
+    out_cv2 = run("cv2").astype(np.int32)
+    assert out_pil.shape == out_cv2.shape
+    d = np.abs(out_pil - out_cv2)
+    assert d.max() <= 2 and d.mean() <= 0.3, (d.max(), d.mean())
+
+
+def test_build_transforms_resize_impl_knob():
+    """cfg.TPU.RESIZE_IMPL plumbs into the Resize stage; default is the
+    exact-parity 'pil'."""
+    from vlbert_tpu.data.transforms import build_transforms
+    from vlbert_tpu.utils.config import load_config
+
+    cfg = load_config("vcr", "cfgs/vcr/base_q2a_4x16G_fp32.yaml")
+    chain = build_transforms(cfg, mode="train").transforms
+    assert chain[0].impl == "pil"
+    cfg_v5e = load_config("vcr", "cfgs/vcr/base_q2a_v5e_bf16.yaml")
+    chain = build_transforms(cfg_v5e, mode="train").transforms
+    assert chain[0].impl == "cv2"
+
+
+def test_hflip_view_then_fixpadding_matches_copy_semantics(rng):
+    """Flip now returns negative-stride views; FixPadding must still
+    produce the same canvas as the old eager-copy flip."""
+    img = (rng.uniform(size=(30, 20, 3)) * 255).astype(np.uint8)
+    s = {"image": img, "boxes": None, "masks": None,
+         "im_info": np.asarray([20, 30, 1, 1], np.float32), "flipped": False}
+    s = RandomHorizontalFlip(prob=1.1)(s)
+    assert s["flipped"]
+    out = FixPadding(30, 40)(s)["image"]
+    assert out.flags["C_CONTIGUOUS"]
+    np.testing.assert_array_equal(out[:30, :20], img[:, ::-1])

