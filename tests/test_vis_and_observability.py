@@ -190,3 +190,38 @@ def test_attention_viewer_npy_assumptions(tmp_path):
                              "attention_viewer.html")).read()
     assert "parseNpy" in html and "<script src" not in html
     json.dump(["[CLS]"], open(tmp_path / "0_tokens.json", "w"))
+
+
+def test_attention_view_python_api(tmp_path):
+    """viz/attention_view.py: the bertviz-equivalent notebook API
+    (ref viz/bertviz/model_view.py:30, attention.py:5-184) — model_view
+    grid, head_view lines, and the SVG variant, over an engine/vis.py-format
+    dump."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from viz.attention_view import (head_view, head_view_html, load_dump,
+                                    model_view)
+
+    rng = np.random.default_rng(0)
+    probs = rng.dirichlet(np.ones(6), size=(2, 3, 6)).astype(np.float32)
+    np.save(tmp_path / "0_attention_probs.npy", probs)
+    json.dump(["[CLS]", "a", "cat", "box_0", "box_1", "[END]"],
+              open(tmp_path / "0_tokens.json", "w"))
+
+    p, toks = load_dump(str(tmp_path), 0)
+    assert p.shape == (2, 3, 6, 6) and toks[-1] == "[END]"
+    fig = model_view(p, toks)
+    assert len(fig.axes) >= 6          # 2 layers x 3 heads
+    fig2 = head_view(p, toks, layer=1, heads=[0, 2], min_weight=0.1)
+    assert fig2 is not None
+    html = head_view_html(p, toks, 0, min_weight=0.1)
+    assert html.startswith("<svg") and "box_0" in html and "<line" in html
+    # notebook exists and drives this module
+    nb = open(os.path.join(os.path.dirname(__file__), "..", "viz",
+                           "attention_view.ipynb")).read()
+    assert "model_view" in nb and "head_view" in nb
