@@ -11,6 +11,7 @@ slope.
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -108,7 +109,7 @@ class _QuantizableServer:
                 "p99_ms": float(np.percentile(lat, 99)),
                 "n": len(lat)}
 
-    def measure_device_compute(self, queries, k1=8, k2=24):
+    def measure_device_compute(self, queries, k1=8, k2=24, reps=3):
         """Slope-timed device compute per query (ms), RTT-cancelled.
 
         p50 through a fetch includes the host<->device round trip (~35 ms
@@ -120,32 +121,61 @@ class _QuantizableServer:
         per-query device time with the constant RTT cancelled. Same
         methodology as bench.py's slope timing.
 
-        Serialization assumption (ADVICE r3): the k dispatches are mutually
-        independent (only the small scalar acc chains), so on a backend
-        that overlaps program execution the slope reports PIPELINED
-        throughput per query, not isolated per-query latency. On the single
-        serializing TPU core this targets, the two coincide.
+        Per-DISPATCH slope timing is unusable on the tunneled plugin: each
+        dispatch is a network call with multi-ms jitter, so a k2-k1 = 16
+        dispatch delta (~8 ms of device work) drowns in RTT noise —
+        observed live: the same server measured 0.47, 0.82 and 1.55
+        ms/query across runs, inverting the int8-vs-bf16 verdict, with
+        single-capture slope spreads of [0.01, 2.8] ms. This probe instead
+        chains the k inferences INSIDE one jitted program (``lax.scan``
+        over the k pre-staged queries): one dispatch + one scalar fetch
+        per sample, so each sample pays the RTT exactly once and
+        (t(k2)-t(k1))/(k2-k1) is pure device time. The median of ``reps``
+        samples is reported with the min/max spread.
+
+        Serialization note (ADVICE r3): inside the scan the k inferences
+        are strictly sequential on the device, so this is isolated
+        per-query device latency, not pipelined throughput.
         """
         import jax.numpy as jnp
 
-        staged = [jax.device_put(self.preprocess(*q)) for q in queries]
-        acc = jax.jit(lambda c, o: c + sum(
-            l.sum().astype(jnp.float32)
-            for l in jax.tree_util.tree_leaves(o)))
+        staged = [self.preprocess(*q) for q in queries]
 
-        def run_k(k):
-            carry = jnp.zeros((), jnp.float32)
+        def stack_k(k):
+            reps_q = [staged[j % len(staged)] for j in range(k)]
+            return jax.device_put(jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *reps_q))
+
+        infer = self._infer  # jitted callable; traces through under jit
+
+        @functools.partial(jax.jit, static_argnums=())
+        def chained(params, stacked):
+            def body(c, q):
+                out = infer(params, *q)
+                return c + sum(l.sum().astype(jnp.float32)
+                               for l in jax.tree_util.tree_leaves(out)), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stacked)
+            return c
+
+        s1, s2 = stack_k(k1), stack_k(k2)
+
+        def run(stacked):
             t0 = time.perf_counter()
-            for j in range(k):
-                out = self._infer(self.params, *staged[j % len(staged)])
-                carry = acc(carry, out)
-            float(carry)             # value fetch = completion barrier
+            float(chained(self.params, stacked))   # fetch = barrier
             return time.perf_counter() - t0
 
-        run_k(2)                     # compile acc + warm the infer program
-        t1, t2 = run_k(k1), run_k(k2)
-        return {"device_ms_per_query": round((t2 - t1) / (k2 - k1) * 1e3, 4),
-                "k1": k1, "k2": k2}
+        run(s1); run(s2)             # compile both chain lengths
+        slopes = []
+        for _ in range(max(1, reps)):
+            t1, t2 = run(s1), run(s2)
+            slopes.append((t2 - t1) / (k2 - k1) * 1e3)
+        slopes.sort()
+        med = slopes[len(slopes) // 2] if len(slopes) % 2 else \
+            0.5 * (slopes[len(slopes) // 2 - 1] + slopes[len(slopes) // 2])
+        return {"device_ms_per_query": round(med, 4),
+                "slope_spread_ms": [round(slopes[0], 4),
+                                    round(slopes[-1], 4)],
+                "k1": k1, "k2": k2, "reps": len(slopes)}
 
 
 class VQAServer(_QuantizableServer):
