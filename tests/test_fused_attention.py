@@ -272,3 +272,65 @@ def test_attn_remat_matches_plain(rng):
         np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_dropout_hw_prng_interpret(rng):
+    """The hw=True (TPU hardware PRNG) variant under pallas interpret mode:
+    deterministic replay, key sensitivity, and — via finite differences —
+    that the backward kernel regenerates the IDENTICAL mask from the
+    (seed, block) pair (a mask mismatch between fwd and bwd would show up
+    as a gradient error far beyond fd tolerance, since the fwd is smooth
+    in (q, k, v, bias) for a fixed mask).
+
+    REQUIRES jax_default_matmul_precision='highest' (conftest sets it):
+    under DEFAULT precision TPU fp32 matmuls run as bf16 passes, whose
+    ~1e-2 relative noise swamps the eps-sized secant of the fd probe —
+    verified on-chip 2026-08-20: every variant (incl. rate~0 and the
+    XLA-parity-proven bits16) 'fails' fd under default precision and
+    passes under highest."""
+    from jax.test_util import check_grads
+
+    from vlbert_tpu.ops.attention import fused_attention_dropout
+
+    q, k, v, bias = _case(rng, B=2, L=9, H=2, D=8)
+    key = jax.random.PRNGKey(3)
+
+    try:
+        o1 = np.asarray(fused_attention_dropout(q, k, v, bias, key, 0.2,
+                                                True))
+    except NotImplementedError:
+        import pytest
+        pytest.skip("pallas interpret mode lacks prng_seed on this "
+                    "platform (hw path is exercised on real TPU)")
+    o2 = np.asarray(fused_attention_dropout(q, k, v, bias, key, 0.2, True))
+    np.testing.assert_array_equal(o1, o2)
+    o3 = np.asarray(fused_attention_dropout(
+        q, k, v, bias, jax.random.PRNGKey(4), 0.2, True))
+    assert not np.allclose(o1, o3)
+
+    check_grads(
+        lambda q, k, v, bias: fused_attention_dropout(
+            q, k, v, bias, key, 0.2, True),
+        (q, k, v, bias), order=1, modes=("rev",), atol=1e-2, rtol=1e-2)
+
+
+def test_fused_dropout_hw_rate_statistics(rng):
+    """hw-PRNG drop fraction tracks the configured rate (loose bound over
+    ~B*H*L*L mask draws)."""
+    from vlbert_tpu.ops.attention import fused_attention_dropout
+
+    B, L, H, D = 2, 32, 2, 8
+    q = jnp.zeros((B, L, H, D), jnp.float32)
+    k = jnp.zeros((B, L, H, D), jnp.float32)
+    # v constant 1 -> probs uniform -> out = keep_frac_per_row * scale; the
+    # mean over all rows estimates (1-rate)*scale = 1
+    v = jnp.ones((B, L, H, D), jnp.float32)
+    bias = jnp.zeros((B, 1, 1, L), jnp.float32)
+    try:
+        out = np.asarray(fused_attention_dropout(
+            q, k, v, bias, jax.random.PRNGKey(0), 0.3, True))
+    except NotImplementedError:
+        import pytest
+        pytest.skip("pallas interpret mode lacks prng_seed on this "
+                    "platform (hw path is exercised on real TPU)")
+    assert abs(out.mean() - 1.0) < 0.05, out.mean()
