@@ -113,6 +113,9 @@ def main():
     resize_impl = "cv2"
     for i, a in enumerate(sys.argv):
         if a == "--resize":
+            if i + 1 >= len(sys.argv) or sys.argv[i + 1] not in ("pil",
+                                                                 "cv2"):
+                raise SystemExit("--resize takes 'pil' or 'cv2'")
             resize_impl = sys.argv[i + 1]
     cfg.TPU.RESIZE_IMPL = resize_impl
     tmp = tempfile.mkdtemp(prefix="vlbert_hostbench_")

@@ -106,6 +106,15 @@ def test_pretokenize_scan_matches_regex_module():
     cases = _fuzz_strings(500, seed=1) + [
         "", " ", "  ", "a", " a", "  a", "a ", "a  ", "\n\n a", "a\t\tb",
         "'s's", "''", "don't've", "1'2", " 'll",
+        # U+001C-U+001F: str.isspace() True but regex \s False — the one
+        # BMP-wide divergence between the two whitespace definitions
+        # (scanner must treat them as 'other', not whitespace)
+        "\x1c'lla", "a\x1d1", "\x1e\x1f", " \x1c", "\x1c ", "a \x1db",
     ]
+    import random
+    rng = random.Random(7)
+    alpha = list("ab1 _'\t\n\x1c\x1d\x1e\x1f.") + ["'ll"]
+    cases += ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+              for _ in range(300)]
     for text in cases:
         assert pat.findall(text) == _pretokenize_scan(text), repr(text)

@@ -58,16 +58,23 @@ else:  # pragma: no cover - exercised directly in tests
     _PAT = None
 
 
-def _is_letter(ch):
-    import unicodedata
+import unicodedata as _ud
 
-    return unicodedata.category(ch).startswith("L")
+
+def _is_letter(ch):
+    return _ud.category(ch).startswith("L")
 
 
 def _is_number(ch):
-    import unicodedata
+    return _ud.category(ch).startswith("N")
 
-    return unicodedata.category(ch).startswith("N")
+
+def _is_space(ch):
+    """regex-module ``\\s`` semantics (Unicode White_Space), NOT
+    str.isspace(): the two differ exactly on U+001C-U+001F (information
+    separators), which isspace() accepts and ``\\s`` rejects — verified
+    empirically over the BMP against the installed `regex` module."""
+    return ch.isspace() and not ("\x1c" <= ch <= "\x1f")
 
 
 def _pretokenize_scan(text):
@@ -94,7 +101,7 @@ def _pretokenize_scan(text):
             continue
         ch = text[i]
         j = i
-        if ch == " " and i + 1 < n and not text[i + 1].isspace():
+        if ch == " " and i + 1 < n and not _is_space(text[i + 1]):
             j = i + 1          # optional leading space of alts 2-4
             ch = text[j]
         if _is_letter(ch):
@@ -109,16 +116,16 @@ def _pretokenize_scan(text):
                 k += 1
             out.append(text[i:k])
             i = k
-        elif not ch.isspace():
+        elif not _is_space(ch):
             k = j
-            while k < n and not text[k].isspace() \
+            while k < n and not _is_space(text[k]) \
                     and not _is_letter(text[k]) and not _is_number(text[k]):
                 k += 1
             out.append(text[i:k])
             i = k
         else:                   # whitespace run (ch may be ' ' before ' ')
             k = i
-            while k < n and text[k].isspace():
+            while k < n and _is_space(text[k]):
                 k += 1
             if k == n or k - i == 1:
                 out.append(text[i:k])

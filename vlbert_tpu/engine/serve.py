@@ -169,12 +169,9 @@ class _QuantizableServer:
         for _ in range(max(1, reps)):
             t1, t2 = run(s1), run(s2)
             slopes.append((t2 - t1) / (k2 - k1) * 1e3)
-        slopes.sort()
-        med = slopes[len(slopes) // 2] if len(slopes) % 2 else \
-            0.5 * (slopes[len(slopes) // 2 - 1] + slopes[len(slopes) // 2])
-        return {"device_ms_per_query": round(med, 4),
-                "slope_spread_ms": [round(slopes[0], 4),
-                                    round(slopes[-1], 4)],
+        return {"device_ms_per_query": round(float(np.median(slopes)), 4),
+                "slope_spread_ms": [round(min(slopes), 4),
+                                    round(max(slopes), 4)],
                 "k1": k1, "k2": k2, "reps": len(slopes)}
 
 

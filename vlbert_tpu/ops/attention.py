@@ -290,7 +290,11 @@ def _drop_args(rate, hw):
     else:
         # drop iff bits < round(rate * 2**16) (ops/dropout.py 'bits16')
         thresh = int(round(float(rate) * 65536.0))
-    return dict(thresh=thresh, scale_kw=1.0 / (1.0 - float(rate)))
+    # rate == 1.0 drops everything; scale is then never applied to a kept
+    # element, so 0.0 keeps the kernel graceful (the XLA dropout_apply path
+    # likewise returns zeros) instead of a trace-time ZeroDivisionError
+    scale = 1.0 / (1.0 - float(rate)) if float(rate) < 1.0 else 0.0
+    return dict(thresh=thresh, scale_kw=scale)
 
 
 def _fad_fwd_impl(q, k, v, bias, key, rate, hw):

@@ -36,12 +36,23 @@ def polygon_fill(r, c, shape):
     r = np.asarray(r, np.float64)
     c = np.asarray(c, np.float64)
     rr, cc = _grid(tuple(shape))
-    ri, ci = r[:, None, None], c[:, None, None]
-    rj = np.roll(r, 1)[:, None, None]
-    cj = np.roll(c, 1)[:, None, None]
-    cond = ((ci > cc) != (cj > cc)) & (
-        rr < (rj - ri) * (cc - ci) / (cj - ci + 1e-12) + ri)
-    return np.bitwise_xor.reduce(cond, axis=0)
+    rj_all, cj_all = np.roll(r, 1), np.roll(c, 1)
+    H, W = shape
+    # bound the [chunk, H, W] broadcast intermediate: irrelevant for the
+    # 14x14 instance-mask grids this serves, but the public contract also
+    # admits image-resolution grids where an all-edges cube would be tens
+    # of MB per polygon
+    chunk = max(1, (1 << 22) // max(H * W, 1))
+    inside = np.zeros(shape, bool)
+    for s in range(0, len(r), chunk):
+        ri = r[s:s + chunk, None, None]
+        ci = c[s:s + chunk, None, None]
+        rj = rj_all[s:s + chunk, None, None]
+        cj = cj_all[s:s + chunk, None, None]
+        cond = ((ci > cc) != (cj > cc)) & (
+            rr < (rj - ri) * (cc - ci) / (cj - ci + 1e-12) + ri)
+        inside ^= np.bitwise_xor.reduce(cond, axis=0)
+    return inside
 
 
 def generate_instance_mask(seg_polys, box, mask_size=(14, 14)):
